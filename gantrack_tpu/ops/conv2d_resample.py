@@ -1,0 +1,132 @@
+"""2D convolution with optional FIR up/downsampling.
+
+Capability parity with the reference ``torch_utils/ops/conv2d_resample.py:46-141``,
+whose five CUDA fast paths collapse on TPU into direct
+``lax.conv_general_dilated`` parameterisations:
+
+* upsampling   → ``lhs_dilation`` on the dense conv (no transpose-conv
+  weight shuffling), followed by the FIR pass at the upsampled rate;
+* downsampling → FIR pass first, then a strided dense conv (keeps the
+  MXU conv at the *low* resolution);
+* 1×1 kernels  → reordered so the dense conv always runs at the lower
+  resolution.
+
+Padding semantics ("performed only once at the beginning, w.r.t. the
+upsampled image") and the filter-size padding adjustments match the
+reference exactly; all chained VALID convolutions commute, so the
+reordering is numerics-preserving.
+
+Layout: NHWC activations, HWIO weights.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .upfirdn2d import _parse_padding, _get_filter_size, upfirdn2d
+
+__all__ = ["conv2d_resample"]
+
+
+def _conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    stride: int = 1,
+    padding=((0, 0), (0, 0)),
+    lhs_dilation=(1, 1),
+    groups: int = 1,
+    flip_weight: bool = True,
+) -> jax.Array:
+    """Dense NHWC/HWIO conv.  ``flip_weight=True`` = cross-correlation
+    (torch ``conv2d`` convention); ``False`` = true convolution."""
+    if not flip_weight and w.shape[0] * w.shape[1] > 1:
+        w = jnp.flip(w, axis=(0, 1))
+    return jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        lhs_dilation=lhs_dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+
+
+def conv2d_resample(
+    x: jax.Array,
+    w: jax.Array,
+    f: Optional[jax.Array] = None,
+    up: int = 1,
+    down: int = 1,
+    padding=0,
+    groups: int = 1,
+    flip_weight: bool = True,
+    flip_filter: bool = False,
+) -> jax.Array:
+    """Convolve ``[N,H,W,I]`` by ``[kh,kw,I//groups,O]`` with optional
+    FIR-filtered up/downsampling.
+
+    Args:
+        f: low-pass FIR filter prepared by :func:`setup_filter` (applied
+           after upsampling / before downsampling). None = identity.
+        up/down: integer resampling factors.
+        padding: int, ``[x, y]`` or ``[x0, x1, y0, y1]`` w.r.t. the
+            *upsampled* image.
+        flip_weight: False = convolution, True = correlation.
+        flip_filter: same for ``f``.
+    """
+    assert x.ndim == 4 and w.ndim == 4
+    kh, kw = int(w.shape[0]), int(w.shape[1])
+    fw, fh = _get_filter_size(f)
+    px0, px1, py0, py1 = _parse_padding(padding)
+
+    # Account for the filter footprint, as in the reference (:81-91).
+    if up > 1:
+        px0 += (fw + up - 1) // 2
+        px1 += (fw - up) // 2
+        py0 += (fh + up - 1) // 2
+        py1 += (fh - up) // 2
+    if down > 1:
+        px0 += (fw - down + 1) // 2
+        px1 += (fw - down) // 2
+        py0 += (fh - down + 1) // 2
+        py1 += (fh - down) // 2
+
+    # 1x1 kernel + downsample only: resample first, convolve at low res.
+    if kw == 1 and kh == 1 and down > 1 and up == 1:
+        x = upfirdn2d(x, f, down=down, padding=[px0, px1, py0, py1], flip_filter=flip_filter)
+        return _conv2d(x, w, groups=groups, flip_weight=flip_weight)
+
+    # 1x1 kernel + upsample only: convolve at low res, then resample.
+    if kw == 1 and kh == 1 and up > 1 and down == 1:
+        x = _conv2d(x, w, groups=groups, flip_weight=flip_weight)
+        return upfirdn2d(x, f, up=up, padding=[px0, px1, py0, py1], gain=up**2, flip_filter=flip_filter)
+
+    # Downsample only: FIR at full res, then strided conv at low res.
+    if down > 1 and up == 1:
+        x = upfirdn2d(x, f, padding=[px0, px1, py0, py1], flip_filter=flip_filter)
+        return _conv2d(x, w, stride=down, groups=groups, flip_weight=flip_weight)
+
+    # Upsample: dense conv over the zero-inserted (lhs-dilated) input,
+    # then the FIR (and optional downsample) at the upsampled rate.
+    # lhs_dilation yields (H-1)*up+1 samples; the reference's zero-insert
+    # keeps up-1 trailing zeros, hence the +up-1 on the high padding.
+    if up > 1:
+        x = _conv2d(
+            x, w,
+            padding=((py0, py1 + up - 1), (px0, px1 + up - 1)),
+            lhs_dilation=(up, up),
+            groups=groups,
+            flip_weight=flip_weight,
+        )
+        # f is applied twice when both resampling both ways (reference :128-133).
+        x = upfirdn2d(x, f, gain=up**2, flip_filter=flip_filter)
+        if down > 1:
+            x = upfirdn2d(x, f, down=down, flip_filter=flip_filter)
+        return x
+
+    # Plain convolution.
+    return _conv2d(x, w, padding=((py0, py1), (px0, px1)), groups=groups, flip_weight=flip_weight)

@@ -1,0 +1,257 @@
+"""Efficient 2D resampling: pad → zero-insert upsample → FIR filter → downsample.
+
+Capability parity with the reference ``torch_utils/ops/upfirdn2d.py`` (see
+``upfirdn2d.py:118-211`` for the op contract and ``:277-388`` for the
+``filter2d/upsample2d/downsample2d`` padding rules), re-designed for TPU:
+
+* The whole pipeline is **one** ``lax.conv_general_dilated`` call — XLA's
+  ``lhs_dilation`` performs the zero-insert upsample, ``window_strides``
+  performs the downsample, and (possibly negative) base padding performs
+  pad/crop.  There is no materialised up-sampled intermediate, and XLA
+  fuses surrounding elementwise work into the conv.
+* Layout is NHWC (channels on the TPU lane dimension); the FIR filter is
+  applied depthwise.  Separable filters use two rank-1 passes.
+* Gradients (any order) come from JAX autodiff of the conv — the
+  reference's hand-derived "swap up/down + flip filter" adjoint
+  (``upfirdn2d.py:250-269``) is what XLA derives automatically.
+
+Numerics contract (matches the reference ``_upfirdn2d_ref``):
+  1. zero-insert upsample by ``up``; 2. zero-pad/crop by ``padding``
+  (relative to the upsampled grid); 3. *convolve* (i.e. flipped
+  cross-correlation unless ``flip_filter``) with ``f * gain**(f.ndim/2)``;
+  4. keep every ``down``-th pixel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IntOrPair = Union[int, Sequence[int]]
+
+
+def _parse_scaling(scaling: IntOrPair) -> Tuple[int, int]:
+    if isinstance(scaling, (int, np.integer)):
+        scaling = [int(scaling)] * 2
+    sx, sy = (int(v) for v in scaling)
+    assert sx >= 1 and sy >= 1, f"invalid scaling {scaling}"
+    return sx, sy
+
+
+def _parse_padding(padding: IntOrPair) -> Tuple[int, int, int, int]:
+    if isinstance(padding, (int, np.integer)):
+        padding = [int(padding)] * 2
+    padding = [int(v) for v in padding]
+    if len(padding) == 2:
+        px, py = padding
+        padding = [px, px, py, py]
+    px0, px1, py0, py1 = padding
+    return px0, px1, py0, py1
+
+
+def _get_filter_size(f: Optional[jax.Array]) -> Tuple[int, int]:
+    if f is None:
+        return 1, 1
+    assert f.ndim in (1, 2)
+    fw = int(f.shape[-1])
+    fh = int(f.shape[0])
+    return fw, fh
+
+
+def setup_filter(
+    f,
+    normalize: bool = True,
+    flip_filter: bool = False,
+    gain: float = 1,
+    separable: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Prepare a FIR filter for :func:`upfirdn2d`.
+
+    Mirrors the reference ``setup_filter`` (``upfirdn2d.py:70-116``):
+    ``None``→identity impulse; 1-D inputs become separable iff >= 8 taps
+    (else outer-product to 2-D); DC-normalise; optional flip; scale by
+    ``gain ** (ndim / 2)``.  Returns float32.
+    """
+    if f is None:
+        f = 1
+    f = jnp.asarray(f, dtype=jnp.float32)
+    assert f.ndim in (0, 1, 2)
+    assert f.size > 0
+    if f.ndim == 0:
+        f = f[jnp.newaxis]
+    if separable is None:
+        separable = f.ndim == 1 and f.size >= 8
+    if f.ndim == 1 and not separable:
+        f = jnp.outer(f, f)
+    assert f.ndim == (1 if separable else 2)
+    if normalize:
+        f = f / jnp.sum(f)
+    if flip_filter:
+        f = jnp.flip(f, axis=tuple(range(f.ndim)))
+    f = f * (gain ** (f.ndim / 2))
+    return f
+
+
+def _depthwise_conv(
+    x: jax.Array,
+    f2d: jax.Array,
+    strides: Tuple[int, int],
+    padding: Tuple[Tuple[int, int], Tuple[int, int]],
+    lhs_dilation: Tuple[int, int],
+) -> jax.Array:
+    """Depthwise NHWC conv with an identical [fh, fw] filter per channel."""
+    channels = x.shape[-1]
+    # HWIO with I=1, O=channels via feature_group_count=channels.
+    rhs = jnp.broadcast_to(f2d[:, :, None, None], (*f2d.shape, 1, channels))
+    return jax.lax.conv_general_dilated(
+        x,
+        rhs.astype(x.dtype),
+        window_strides=strides,
+        padding=padding,
+        lhs_dilation=lhs_dilation,
+        rhs_dilation=(1, 1),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=channels,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def upfirdn2d(
+    x: jax.Array,
+    f: Optional[jax.Array],
+    up: IntOrPair = 1,
+    down: IntOrPair = 1,
+    padding: IntOrPair = 0,
+    flip_filter: bool = False,
+    gain: float = 1,
+) -> jax.Array:
+    """Pad, upsample, FIR-filter, and downsample a batch of NHWC images.
+
+    Args:
+        x: ``[N, H, W, C]`` input.
+        f: float32 FIR filter ``[fh, fw]`` (non-separable), ``[taps]``
+           (separable), or ``None`` (identity).
+        up / down: integer scaling factor(s), int or ``[x, y]``.
+        padding: int, ``[x, y]``, or ``[x0, x1, y0, y1]`` w.r.t. the
+            upsampled image; negative values crop.
+        flip_filter: False = convolution, True = correlation.
+        gain: overall magnitude scaling.
+
+    Returns:
+        ``[N, out_h, out_w, C]`` where
+        ``out_h = (H*upy + pady0 + pady1 - fh) // downy + 1`` (same for w).
+    """
+    assert x.ndim == 4, f"expected NHWC, got shape {x.shape}"
+    if f is None:
+        f = jnp.ones((1, 1), dtype=jnp.float32)
+    assert f.ndim in (1, 2)
+    upx, upy = _parse_scaling(up)
+    downx, downy = _parse_scaling(down)
+    padx0, padx1, pady0, pady1 = _parse_padding(padding)
+
+    upW = x.shape[2] * upx + padx0 + padx1
+    upH = x.shape[1] * upy + pady0 + pady1
+    assert upW >= f.shape[-1] and upH >= f.shape[0], (
+        f"upsampled buffer {upH}x{upW} smaller than filter {tuple(f.shape)}"
+    )
+
+    # Overall gain, then flip for true convolution (XLA conv is cross-corr).
+    f = f * (gain ** (f.ndim / 2))
+    f = f.astype(x.dtype)
+    if not flip_filter:
+        f = jnp.flip(f, axis=tuple(range(f.ndim)))
+
+    # lhs_dilation produces (H-1)*up+1 samples; the reference zero-insert
+    # keeps up-1 trailing zeros (H*up samples), so fold them into the high
+    # padding to reproduce identical output geometry.
+    if f.ndim == 2:
+        return _depthwise_conv(
+            x, f,
+            strides=(downy, downx),
+            padding=((pady0, pady1 + upy - 1), (padx0, padx1 + upx - 1)),
+            lhs_dilation=(upy, upx),
+        )
+    # Separable: vertical pass then horizontal pass, each fused into one conv.
+    x = _depthwise_conv(
+        x, f[:, None],
+        strides=(downy, 1),
+        padding=((pady0, pady1 + upy - 1), (0, 0)),
+        lhs_dilation=(upy, 1),
+    )
+    x = _depthwise_conv(
+        x, f[None, :],
+        strides=(1, downx),
+        padding=((0, 0), (padx0, padx1 + upx - 1)),
+        lhs_dilation=(1, upx),
+    )
+    return x
+
+
+def filter2d(
+    x: jax.Array,
+    f: Optional[jax.Array],
+    padding: IntOrPair = 0,
+    flip_filter: bool = False,
+    gain: float = 1,
+) -> jax.Array:
+    """FIR-filter NHWC images, output shape-matched to input.
+
+    Padding rule per reference ``filter2d`` (``upfirdn2d.py:277-310``).
+    """
+    px0, px1, py0, py1 = _parse_padding(padding)
+    fw, fh = _get_filter_size(f)
+    p = [px0 + fw // 2, px1 + (fw - 1) // 2, py0 + fh // 2, py1 + (fh - 1) // 2]
+    return upfirdn2d(x, f, padding=p, flip_filter=flip_filter, gain=gain)
+
+
+def upsample2d(
+    x: jax.Array,
+    f: Optional[jax.Array],
+    up: IntOrPair = 2,
+    padding: IntOrPair = 0,
+    flip_filter: bool = False,
+    gain: float = 1,
+) -> jax.Array:
+    """Upsample NHWC images with the given FIR filter.
+
+    Padding/gain rules per reference ``upsample2d`` (``upfirdn2d.py:313-349``):
+    output-centred padding and ``gain * up_x * up_y`` DC compensation.
+    """
+    upx, upy = _parse_scaling(up)
+    px0, px1, py0, py1 = _parse_padding(padding)
+    fw, fh = _get_filter_size(f)
+    p = [
+        px0 + (fw + upx - 1) // 2,
+        px1 + (fw - upx) // 2,
+        py0 + (fh + upy - 1) // 2,
+        py1 + (fh - upy) // 2,
+    ]
+    return upfirdn2d(x, f, up=up, padding=p, flip_filter=flip_filter, gain=gain * upx * upy)
+
+
+def downsample2d(
+    x: jax.Array,
+    f: Optional[jax.Array],
+    down: IntOrPair = 2,
+    padding: IntOrPair = 0,
+    flip_filter: bool = False,
+    gain: float = 1,
+) -> jax.Array:
+    """Downsample NHWC images with the given FIR filter.
+
+    Padding rule per reference ``downsample2d`` (``upfirdn2d.py:352-388``).
+    """
+    downx, downy = _parse_scaling(down)
+    px0, px1, py0, py1 = _parse_padding(padding)
+    fw, fh = _get_filter_size(f)
+    p = [
+        px0 + (fw - downx + 1) // 2,
+        px1 + (fw - downx) // 2,
+        py0 + (fh - downy + 1) // 2,
+        py1 + (fh - downy) // 2,
+    ]
+    return upfirdn2d(x, f, down=down, padding=p, flip_filter=flip_filter, gain=gain)
