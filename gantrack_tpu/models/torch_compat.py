@@ -1,0 +1,149 @@
+"""Import reference (PyTorch StyleGAN2) weights into gantrack_tpu models.
+
+Serves two purposes:
+* parity testing — build the reference network, copy its weights, and
+  assert our flax model produces the same outputs;
+* a ``legacy.load_network_pkl``-style migration path (reference
+  ``legacy.py:22-59``): users with reference snapshot pickles can convert
+  them to gantrack_tpu checkpoints.
+
+The mapping handles the layout changes of this framework:
+NCHW→NHWC activations (OIHW→HWIO conv weights, CHW→HWC const inputs) and
+the discriminator epilogue's flatten order (channel-fastest here).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+
+def _t(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def _conv_w(x) -> np.ndarray:
+    """OIHW -> HWIO."""
+    return np.transpose(_t(x), (2, 3, 1, 0))
+
+
+def _fc_w(x) -> np.ndarray:
+    """[out, in] -> [in, out]."""
+    return np.transpose(_t(x), (1, 0))
+
+
+def _set(tree: Dict[str, Any], path: str, value: np.ndarray) -> None:
+    keys = path.split("/")
+    node = tree
+    for k in keys[:-1]:
+        node = node.setdefault(k, {})
+    node[keys[-1]] = value
+
+
+def _fc(tree, prefix: str, sd: Mapping[str, Any], torch_prefix: str) -> None:
+    _set(tree, f"{prefix}/weight", _fc_w(sd[f"{torch_prefix}.weight"]))
+    if f"{torch_prefix}.bias" in sd:
+        _set(tree, f"{prefix}/bias", _t(sd[f"{torch_prefix}.bias"]))
+
+
+def mapping_params_from_torch(sd: Mapping[str, Any], num_layers: int, prefix: str = "") -> Dict[str, Any]:
+    params: Dict[str, Any] = {}
+    for i in range(num_layers):
+        _fc(params, f"fc{i}", sd, f"{prefix}fc{i}")
+    if f"{prefix}embed.weight" in sd:
+        _fc(params, "embed", sd, f"{prefix}embed")
+    return params
+
+
+def generator_params_from_torch(g_torch) -> Dict[str, Dict[str, Any]]:
+    """Convert a reference ``Generator`` module to flax variable dicts.
+
+    Returns ``{"params": ..., "emas": ..., "noise_consts": ...}``.
+    """
+    sd = {k: _t(v) for k, v in g_torch.state_dict().items()}
+    params: Dict[str, Any] = {}
+    emas: Dict[str, Any] = {}
+    noise_consts: Dict[str, Any] = {}
+
+    num_mapping_layers = g_torch.mapping.num_layers
+    params["mapping"] = mapping_params_from_torch(sd, num_mapping_layers, "mapping.")
+    if "mapping.w_avg" in sd:
+        emas["mapping"] = {"w_avg": sd["mapping.w_avg"]}
+
+    for res in g_torch.synthesis.block_resolutions:
+        bp: Dict[str, Any] = {}
+        bn: Dict[str, Any] = {}
+        base = f"synthesis.b{res}"
+        if f"{base}.const" in sd:
+            bp["const"] = np.transpose(sd[f"{base}.const"], (1, 2, 0))
+        for conv in ("conv0", "conv1"):
+            if f"{base}.{conv}.weight" not in sd:
+                continue
+            cp: Dict[str, Any] = {
+                "weight": _conv_w(sd[f"{base}.{conv}.weight"]),
+                "bias": sd[f"{base}.{conv}.bias"],
+            }
+            _fc(cp, "affine", sd, f"{base}.{conv}.affine")
+            if f"{base}.{conv}.noise_strength" in sd:
+                cp["noise_strength"] = sd[f"{base}.{conv}.noise_strength"]
+                bn[conv] = {"noise_const": sd[f"{base}.{conv}.noise_const"]}
+            bp[conv] = cp
+        if f"{base}.torgb.weight" in sd:
+            tp: Dict[str, Any] = {
+                "weight": _conv_w(sd[f"{base}.torgb.weight"]),
+                "bias": sd[f"{base}.torgb.bias"],
+            }
+            _fc(tp, "affine", sd, f"{base}.torgb.affine")
+            bp["torgb"] = tp
+        if f"{base}.skip.weight" in sd:
+            bp["skip"] = {"weight": _conv_w(sd[f"{base}.skip.weight"])}
+        params.setdefault("synthesis", {})[f"b{res}"] = bp
+        if bn:
+            noise_consts.setdefault("synthesis", {})[f"b{res}"] = bn
+
+    return {"params": params, "emas": {"mapping": emas.get("mapping", {})}, "noise_consts": noise_consts}
+
+
+def discriminator_params_from_torch(d_torch) -> Dict[str, Dict[str, Any]]:
+    """Convert a reference ``Discriminator`` module to flax params."""
+    sd = {k: _t(v) for k, v in d_torch.state_dict().items()}
+    params: Dict[str, Any] = {}
+
+    for res in d_torch.block_resolutions:
+        bp: Dict[str, Any] = {}
+        base = f"b{res}"
+        for conv in ("fromrgb", "conv0", "conv1"):
+            if f"{base}.{conv}.weight" not in sd:
+                continue
+            bp[conv] = {"weight": _conv_w(sd[f"{base}.{conv}.weight"])}
+            if f"{base}.{conv}.bias" in sd:
+                bp[conv]["bias"] = sd[f"{base}.{conv}.bias"]
+        if f"{base}.skip.weight" in sd:
+            bp["skip"] = {"weight": _conv_w(sd[f"{base}.skip.weight"])}
+        params[base] = bp
+
+    if any(k.startswith("mapping.") for k in sd):
+        params["mapping"] = mapping_params_from_torch(
+            sd, d_torch.mapping.num_layers, "mapping."
+        )
+
+    # Epilogue: conv then flatten-sensitive fc.
+    ep: Dict[str, Any] = {}
+    if "b4.fromrgb.weight" in sd:
+        ep["fromrgb"] = {
+            "weight": _conv_w(sd["b4.fromrgb.weight"]),
+            "bias": sd["b4.fromrgb.bias"],
+        }
+    ep["conv"] = {"weight": _conv_w(sd["b4.conv.weight"]), "bias": sd["b4.conv.bias"]}
+    fc_w = sd["b4.fc.weight"]  # [out, C*H*W] with NCHW flatten
+    out_features = fc_w.shape[0]
+    in_ch = sd["b4.conv.weight"].shape[0]
+    res = 4
+    fc_w = fc_w.reshape(out_features, in_ch, res, res).transpose(0, 2, 3, 1).reshape(out_features, -1)
+    ep["fc"] = {"weight": fc_w.T, "bias": sd["b4.fc.bias"]}
+    ep["out"] = {"weight": _fc_w(sd["b4.out.weight"]), "bias": sd["b4.out.bias"]}
+    params["b4"] = ep
+    return {"params": params}
