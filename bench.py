@@ -1,0 +1,95 @@
+"""Benchmark: StyleGAN2-ADA 256² training throughput on one TPU chip.
+
+Measures the full 4-phase training step (Gmain + PL, Dmain + R1, ADA
+augment, G-EMA) at the reference claro recipe (batch 32, cbase 16384,
+gamma 0.4096 — BASELINE.md) and prints ONE JSON line:
+    {"metric": "imgs_per_sec_per_chip_sg2_256", "value": N,
+     "unit": "imgs/sec/chip", "vs_baseline": N / 45.8}
+Baseline: 45.8 imgs/sec/GPU (V100, reference configs.md:182).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gantrack_tpu.models.stylegan2 import Discriminator, Generator
+    from gantrack_tpu.parallel.mesh import create_mesh, shard_batch
+    from gantrack_tpu.training import (
+        StyleGAN2Loss, StyleGAN2LossConfig, TrainStepConfig, TrainStepper,
+        create_train_state, lazy_reg_adam,
+    )
+    from gantrack_tpu.training.augment import AugmentPipe, medical_augment_config
+
+    res = 256
+    batch = 32
+    cbase, cmax = 16384, 512
+    zdim = 512
+
+    g = Generator(
+        z_dim=zdim, c_dim=0, w_dim=zdim, img_resolution=res, img_channels=1,
+        mapping_kwargs=dict(num_layers=2),
+        synthesis_kwargs=dict(channel_base=cbase, channel_max=cmax, num_fp16_res=4),
+    )
+    d = Discriminator(
+        c_dim=0, img_resolution=res, img_channels=1,
+        channel_base=cbase, channel_max=cmax, num_fp16_res=4,
+        epilogue_kwargs=dict(mbstd_group_size=4),
+    )
+    opt_g = lazy_reg_adam(0.0025, reg_interval=4)
+    opt_d = lazy_reg_adam(0.0025, reg_interval=16)
+    state = create_train_state(
+        g, d, jax.random.PRNGKey(0), opt_g, opt_d,
+        z_dim=zdim, c_dim=0, img_resolution=res, img_channels=1,
+    )
+    augment = AugmentPipe(medical_augment_config(), res, res, 1)
+    loss = StyleGAN2Loss(
+        g, d, StyleGAN2LossConfig(r1_gamma=0.4096, style_mixing_prob=0.9, pl_weight=2.0),
+        augment_fn=augment,
+    )
+    cfg = TrainStepConfig(batch_size=batch, z_dim=zdim, ada_target=0.6)
+    mesh = create_mesh(1)
+    stepper = TrainStepper(loss, opt_g, opt_d, cfg, mesh)
+
+    rng = np.random.default_rng(0)
+    imgs = shard_batch(mesh, jnp.asarray(
+        rng.standard_normal((batch, res, res, 1)), jnp.float32
+    ))
+
+    # Warm up / compile all phase combinations that occur in steady state.
+    for _ in range(3):
+        state, _ = stepper(state, imgs)
+    jax.block_until_ready(state.params_g)
+
+    # Steady-state measurement over a representative 16-step window
+    # (contains 4 Greg and 1 Dreg step, like real training cadence).
+    # Align to a 16-step boundary first.
+    while int(state.step) % 16 != 0:
+        state, _ = stepper(state, imgs)
+    jax.block_until_ready(state.params_g)
+
+    n_steps = 32
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, _ = stepper(state, imgs)
+    jax.block_until_ready(state.params_g)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = n_steps * batch / dt
+    baseline = 45.8  # imgs/sec/GPU, V100, reference configs.md:182
+    print(json.dumps({
+        "metric": "imgs_per_sec_per_chip_sg2_256",
+        "value": round(imgs_per_sec, 2),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(imgs_per_sec / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

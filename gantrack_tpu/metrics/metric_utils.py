@@ -1,0 +1,174 @@
+"""Feature-extraction plumbing shared by all quality metrics.
+
+Capability parity with the reference ``metrics/metric_utils.py``:
+``MetricOptions`` (``:23-38``), detector management (``:47-58``),
+dataset/generator feature passes with multimodal channel selection and
+1→3-channel expansion (``:201-323``), and md5-keyed dataset-feature
+caching.  TPU-native: feature extraction is one jitted NHWC inference
+function; with multiple devices the batch axis is sharded by the caller.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import GANDataset
+from .feature_stats import FeatureStats, cache_path
+
+
+@dataclasses.dataclass
+class MetricOptions:
+    """Everything a metric needs (reference ``MetricOptions :23-38``)."""
+
+    generator: Optional[Callable[[jax.Array, Optional[jax.Array]], jax.Array]] = None
+    #   generator(z, c) -> images in [-1, 1], NHWC (jit-compatible)
+    z_dim: int = 512
+    c_dim: int = 0
+    dataset: Optional[GANDataset] = None
+    detector: Optional["Detector"] = None
+    mode_idx: Optional[int] = None      # multimodal channel select
+    num_items: Optional[int] = None
+    batch_size: int = 64
+    cache_dir: Optional[str] = None
+    seed: int = 0
+    progress: Optional[Callable[[int, int], None]] = None
+
+
+class Detector:
+    """A jitted feature extractor: float images 0..255 NHWC(3) → [N, D]."""
+
+    def __init__(self, apply_fn, params, name: str):
+        self.name = name
+        self._fn = jax.jit(lambda imgs: apply_fn(params, imgs))
+
+    def __call__(self, images_uint8_range: np.ndarray) -> np.ndarray:
+        return np.asarray(self._fn(jnp.asarray(images_uint8_range, jnp.float32)))
+
+
+def make_inception_detector(weights_path: Optional[str] = None, seed: int = 0) -> Detector:
+    from ..models import inception
+
+    model = inception.InceptionV3Features()
+    if weights_path and os.path.exists(weights_path):
+        params = inception.load_npz(weights_path)
+        name = f"inception:{os.path.basename(weights_path)}"
+    else:
+        params = inception.random_params(jax.random.PRNGKey(seed))
+        name = f"inception:random-seed{seed}"
+    return Detector(model.apply, params, name)
+
+
+def make_vgg_detector(weights_path: Optional[str] = None, seed: int = 0) -> Detector:
+    from ..models import vgg
+
+    model = vgg.VGG16()
+    if weights_path and os.path.exists(weights_path):
+        params = vgg.load_npz(weights_path)
+        name = f"vgg16:{os.path.basename(weights_path)}"
+    else:
+        params = vgg.random_params(jax.random.PRNGKey(seed))
+        name = f"vgg16:random-seed{seed}"
+    return Detector(model.apply, params, name)
+
+
+def to_detector_input(images: np.ndarray, mode_idx: Optional[int]) -> np.ndarray:
+    """Channel-select + 1→3 repeat (reference ``metric_utils.py:240-258``).
+
+    ``images``: float NHWC in 0..255 range.
+    """
+    if mode_idx is not None:
+        images = images[..., mode_idx : mode_idx + 1]
+    c = images.shape[-1]
+    if c == 1:
+        images = np.repeat(images, 3, axis=-1)
+    elif c == 2:
+        raise ValueError("select a modality (mode_idx) for multimodal data")
+    return images
+
+
+def compute_feature_stats_for_dataset(
+    opts: MetricOptions,
+    capture_all: bool = False,
+    capture_mean_cov: bool = False,
+    max_items: Optional[int] = None,
+) -> FeatureStats:
+    """Features over real data, with caching (reference ``:201-269``)."""
+    dataset = opts.dataset
+    n = len(dataset)
+    if max_items is not None:
+        n = min(n, max_items)
+
+    cache_file = None
+    if opts.cache_dir is not None:
+        cache_file = cache_path(
+            opts.cache_dir, "features",
+            dataset=getattr(dataset, "_path", dataset.name),
+            detector=opts.detector.name, mode_idx=opts.mode_idx,
+            capture_all=capture_all, capture_mean_cov=capture_mean_cov,
+            max_items=max_items,
+        )
+        if os.path.isfile(cache_file):
+            return FeatureStats.load(cache_file)
+
+    stats = FeatureStats(capture_all=capture_all, capture_mean_cov=capture_mean_cov, max_items=n)
+    bs = opts.batch_size
+    idx = 0
+    while not stats.is_full():
+        imgs = []
+        for _ in range(min(bs, n - idx)):
+            img, _label, _fname = dataset[idx % len(dataset)]
+            imgs.append(img)
+            idx += 1
+        if not imgs:
+            break
+        batch = to_detector_input(np.stack(imgs), opts.mode_idx)
+        stats.append(opts.detector(batch))
+        if opts.progress:
+            opts.progress(stats.num_items, n)
+
+    if cache_file is not None:
+        stats.save(cache_file)
+    return stats
+
+
+def compute_feature_stats_for_generator(
+    opts: MetricOptions,
+    capture_all: bool = False,
+    capture_mean_cov: bool = False,
+    max_items: Optional[int] = None,
+) -> FeatureStats:
+    """Features over generated data (reference ``:271-323``): sample z,
+    run G_ema, map [-1,1] → 0..255 with the reference's
+    ``(img·127.5+128).clamp(0,255)`` rule, channel-select, extract."""
+    assert opts.generator is not None
+    stats = FeatureStats(capture_all=capture_all, capture_mean_cov=capture_mean_cov,
+                         max_items=max_items)
+    rng = jax.random.PRNGKey(opts.seed)
+    while not stats.is_full():
+        rng, kz, kc = jax.random.split(rng, 3)
+        z = jax.random.normal(kz, (opts.batch_size, opts.z_dim))
+        c = None
+        if opts.c_dim > 0:
+            if opts.dataset is not None and opts.dataset.has_labels:
+                ids = np.random.RandomState(int(kc[0]) % (2**31)).randint(
+                    0, len(opts.dataset), opts.batch_size
+                )
+                c = jnp.asarray(np.stack([opts.dataset.get_label(int(i)) for i in ids]))
+            else:
+                c = jax.nn.one_hot(
+                    jax.random.randint(kc, (opts.batch_size,), 0, opts.c_dim), opts.c_dim
+                )
+        img = opts.generator(z, c)
+        img = np.asarray(img, np.float32)
+        img = np.clip(img * 127.5 + 128, 0, 255)
+        batch = to_detector_input(img, opts.mode_idx)
+        stats.append(opts.detector(batch))
+        if opts.progress and stats.max_items:
+            opts.progress(stats.num_items, stats.max_items)
+    return stats

@@ -55,23 +55,28 @@ class FullyConnected(nn.Module):
     use_bias: bool = True
     activation: str = "linear"
     lr_multiplier: float = 1.0
-    bias_init: float = 0.0
+    bias_init: Any = 0.0  # scalar or length-out_features sequence
+    weight_init: float = 1.0  # initial stddev scale (SG3 uses 0 for input affines)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         in_features = x.shape[-1]
         w = self.param(
             "weight",
-            lambda key, shape: jax.random.normal(key, shape, jnp.float32) / self.lr_multiplier,
+            lambda key, shape: jax.random.normal(key, shape, jnp.float32)
+            * (self.weight_init / self.lr_multiplier),
             (in_features, self.out_features),
         )
         weight_gain = self.lr_multiplier / np.sqrt(in_features)
         x = jnp.matmul(x, (w * weight_gain).astype(x.dtype))
         b = None
         if self.use_bias:
+            bias_init = np.broadcast_to(
+                np.asarray(self.bias_init, dtype=np.float32), (self.out_features,)
+            )
             b = self.param(
                 "bias",
-                lambda key, shape: jnp.full(shape, self.bias_init, jnp.float32),
+                lambda key, shape: jnp.asarray(bias_init / self.lr_multiplier),
                 (self.out_features,),
             )
             b = b * self.lr_multiplier

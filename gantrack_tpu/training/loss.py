@@ -1,0 +1,249 @@
+"""StyleGAN2-ADA adversarial loss phases.
+
+Capability parity with the reference ``training/loss.py:23-139``:
+non-saturating softplus losses, style-mixing regularisation, path-length
+regularisation with EMA baseline, R1 gradient penalty, discriminator
+blur ramp hook, and ADA augmentation insertion before D.
+
+TPU-native notes:
+* Every phase is a pure function ``params -> (scalar loss, aux)`` suitable
+  for ``jax.grad``; the R1/PL double-backward is plain nested autodiff.
+* The reference's ``no_weight_gradients`` trick (``loss.py:90,131``) is
+  implicit: ``jax.grad`` w.r.t. ``ws``/images never materialises weight
+  cotangents.
+* Style mixing uses a shape-static mask instead of in-place slicing.
+* ``pl_mean`` is explicit state threaded through (reference keeps it as a
+  module buffer).
+* All statistics are returned as moment dicts (see ``stats.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.upfirdn2d import filter2d
+from . import stats
+
+
+@dataclasses.dataclass(frozen=True)
+class StyleGAN2LossConfig:
+    """Hyper-parameters (reference ``loss.py:24-41`` defaults as wired by
+    ``train_mi_multimodal.py:249-306``)."""
+
+    r1_gamma: float = 10.0
+    style_mixing_prob: float = 0.9
+    pl_weight: float = 2.0
+    pl_batch_shrink: int = 2
+    pl_decay: float = 0.01
+    blur_init_sigma: float = 0.0
+    blur_fade_kimg: float = 0.0
+
+
+# augment_fn(images, p, rng) -> images
+AugmentFn = Callable[[jax.Array, jax.Array, jax.Array], jax.Array]
+
+
+class StyleGAN2Loss:
+    """Bundles G/D module definitions + loss config into phase functions.
+
+    ``vars_g`` / ``vars_d`` are flax variable dicts; gradients are taken
+    w.r.t. their ``params`` leaves by the train step.
+    """
+
+    def __init__(
+        self,
+        G,
+        D,
+        cfg: StyleGAN2LossConfig = StyleGAN2LossConfig(),
+        augment_fn: Optional[AugmentFn] = None,
+    ):
+        self.G = G
+        self.D = D
+        self.cfg = cfg
+        self.augment_fn = augment_fn
+
+    # ------------------------------------------------------------- helpers
+
+    def _mapping(self, vars_g, z, c):
+        return self.G.apply(
+            vars_g, z, c,
+            method=lambda m, z, c, **kw: m.mapping(z, c, **kw),
+        )
+
+    def _synthesis(self, vars_g, ws, rng):
+        return self.G.apply(
+            vars_g, ws, noise_mode="random",
+            method=lambda m, ws, **kw: m.synthesis(ws, **kw),
+            rngs={"noise": rng},
+        )
+
+    def run_G(
+        self, vars_g, z, c, rng
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """mapping → style mixing → synthesis (reference ``loss.py:43-51``).
+
+        Returns (img, ws, w_batch_mean).  ``w_batch_mean`` is the
+        stop-gradient mean of the first-pass w (pre-mixing) — the train
+        step uses it for the replica-consistent ``w_avg`` EMA update (the
+        reference updates the buffer inside mapping,
+        ``networks_stylegan2.py:249-251``, with per-replica means).
+        """
+        k_mix, k_cut, k_z2, k_noise = jax.random.split(rng, 4)
+        ws = self._mapping(vars_g, z, c)
+        num_ws = ws.shape[1]
+        w_batch_mean = jax.lax.stop_gradient(jnp.mean(ws[:, 0], axis=0))
+        if self.cfg.style_mixing_prob > 0:
+            cutoff = jax.random.randint(k_cut, (), 1, num_ws)
+            cutoff = jnp.where(
+                jax.random.uniform(k_mix) < self.cfg.style_mixing_prob, cutoff, num_ws
+            )
+            z2 = jax.random.normal(k_z2, z.shape, z.dtype)
+            ws2 = self._mapping(vars_g, z2, c)
+            mask = (jnp.arange(num_ws)[None, :, None] >= cutoff)
+            ws = jnp.where(mask, ws2, ws)
+        img = self._synthesis(vars_g, ws, k_noise)
+        return img, ws, w_batch_mean
+
+    def run_D(
+        self, vars_d, img, c, rng, blur_sigma: Optional[jax.Array] = None, ada_p=None
+    ) -> jax.Array:
+        """blur ramp → ADA augment → D (reference ``loss.py:53-62``)."""
+        if self.cfg.blur_init_sigma > 0 and blur_sigma is not None:
+            # Shape-static blur: worst-case taps, gaussian weights masked by
+            # the fading sigma (σ→0 degenerates to identity).
+            blur_size = int(np.floor(self.cfg.blur_init_sigma * 3))
+            t = jnp.arange(-blur_size, blur_size + 1, dtype=jnp.float32)
+            sig = jnp.maximum(blur_sigma, 1e-8)
+            f = jnp.exp2(-jnp.square(t / sig))
+            f = jnp.where(jnp.abs(t) <= jnp.floor(blur_sigma * 3), f, 0.0)
+            f = jnp.where(blur_sigma > 0, f / jnp.sum(f), (t == 0).astype(jnp.float32))
+            img = filter2d(img, f, flip_filter=False)
+        if self.augment_fn is not None:
+            k_aug, rng = jax.random.split(rng)
+            img = self.augment_fn(img, ada_p, k_aug)
+        return self.D.apply(vars_d, img, c)
+
+    def blur_sigma(self, cur_nimg) -> Optional[jax.Array]:
+        if self.cfg.blur_fade_kimg <= 0:
+            return None
+        return (
+            jnp.maximum(1.0 - cur_nimg / (self.cfg.blur_fade_kimg * 1e3), 0.0)
+            * self.cfg.blur_init_sigma
+        )
+
+    # -------------------------------------------------------------- phases
+
+    def gmain(
+        self, params_g, extras_g, vars_d, z, c, rng, ada_p, cur_nimg
+    ) -> Tuple[jax.Array, stats.Moments]:
+        """Non-saturating generator loss (reference ``loss.py:73-82``)."""
+        vars_g = {"params": params_g, **extras_g}
+        k_g, k_d = jax.random.split(rng)
+        img, _ws, _wmean = self.run_G(vars_g, z, c, k_g)
+        logits = self.run_D(vars_d, img, c, k_d, self.blur_sigma(cur_nimg), ada_p)
+        loss = jax.nn.softplus(-logits)
+        m: stats.Moments = {}
+        m = stats.report(m, "Loss/scores/fake", logits)
+        m = stats.report(m, "Loss/signs/fake", jnp.sign(logits))
+        m = stats.report(m, "Loss/G/loss", loss)
+        return jnp.mean(loss), m
+
+    def gpl(
+        self, params_g, extras_g, z, c, rng, pl_mean
+    ) -> Tuple[jax.Array, Tuple[jax.Array, stats.Moments]]:
+        """Path-length regularisation (reference ``loss.py:85-100``).
+
+        Returns (loss, (new_pl_mean, moments)).  The caller multiplies by
+        the lazy-reg gain.
+        """
+        vars_g = {"params": params_g, **extras_g}
+        bsz = z.shape[0] // self.cfg.pl_batch_shrink
+        z = z[:bsz]
+        c = c[:bsz] if c is not None else None
+        k_g, k_noise, k_syn = jax.random.split(rng, 3)
+
+        # ws via mapping + mixing (no EMA update in the PL pass).
+        ws = self._mapping(vars_g, z, c)
+        num_ws = ws.shape[1]
+        if self.cfg.style_mixing_prob > 0:
+            k_mix, k_cut, k_z2 = jax.random.split(k_g, 3)
+            cutoff = jax.random.randint(k_cut, (), 1, num_ws)
+            cutoff = jnp.where(
+                jax.random.uniform(k_mix) < self.cfg.style_mixing_prob, cutoff, num_ws
+            )
+            ws2 = self._mapping(vars_g, jax.random.normal(k_z2, z.shape, z.dtype), c)
+            ws = jnp.where(jnp.arange(num_ws)[None, :, None] >= cutoff, ws2, ws)
+
+        def img_dot_noise(ws_in, key):
+            img = self._synthesis(vars_g, ws_in, key)
+            pl_noise = jax.random.normal(k_noise, img.shape) / np.sqrt(
+                img.shape[1] * img.shape[2]
+            )
+            return jnp.sum(img * pl_noise)
+
+        pl_grads = jax.grad(img_dot_noise)(ws, k_syn)  # [N, num_ws, w_dim]
+        pl_lengths = jnp.sqrt(jnp.mean(jnp.sum(jnp.square(pl_grads), axis=2), axis=1))
+        new_pl_mean = pl_mean + self.cfg.pl_decay * (jnp.mean(pl_lengths) - pl_mean)
+        new_pl_mean = jax.lax.stop_gradient(new_pl_mean)
+        pl_penalty = jnp.square(pl_lengths - new_pl_mean)
+        loss = pl_penalty * self.cfg.pl_weight
+        m: stats.Moments = {}
+        m = stats.report(m, "Loss/pl_penalty", pl_penalty)
+        m = stats.report(m, "Loss/G/reg", loss)
+        return jnp.mean(loss), (new_pl_mean, m)
+
+    def dmain(
+        self, params_d, vars_g, z, c, real_img, real_c, rng, ada_p, cur_nimg
+    ) -> Tuple[jax.Array, Tuple[jax.Array, stats.Moments]]:
+        """Discriminator main loss (reference ``loss.py:103-127``).
+
+        The fake pass is where the reference tracks w_avg
+        (``update_emas=True``); here the pre-mixing batch w mean is
+        returned in aux for the train step's EMA update.
+        Returns (loss, (w_batch_mean, moments)).
+        """
+        k_g, k_df, k_dr = jax.random.split(rng, 3)
+        vars_d = {"params": params_d}
+        bs = self.blur_sigma(cur_nimg)
+
+        gen_img, _ws, w_batch_mean = self.run_G(vars_g, z, c, k_g)
+        gen_img = jax.lax.stop_gradient(gen_img)
+        gen_logits = self.run_D(vars_d, gen_img, c, k_df, bs, ada_p)
+        loss_dgen = jax.nn.softplus(gen_logits)
+
+        real_logits = self.run_D(vars_d, real_img, real_c, k_dr, bs, ada_p)
+        loss_dreal = jax.nn.softplus(-real_logits)
+
+        m: stats.Moments = {}
+        m = stats.report(m, "Loss/scores/fake", gen_logits)
+        m = stats.report(m, "Loss/signs/fake", jnp.sign(gen_logits))
+        m = stats.report(m, "Loss/scores/real", real_logits)
+        m = stats.report(m, "Loss/signs/real", jnp.sign(real_logits))
+        m = stats.report(m, "Loss/D/loss", loss_dgen + loss_dreal)
+        return jnp.mean(loss_dgen) + jnp.mean(loss_dreal), (w_batch_mean, m)
+
+    def dr1(
+        self, params_d, real_img, real_c, rng, ada_p, cur_nimg
+    ) -> Tuple[jax.Array, stats.Moments]:
+        """R1 gradient penalty (reference ``loss.py:129-139``)."""
+        vars_d = {"params": params_d}
+        bs = self.blur_sigma(cur_nimg)
+
+        def d_sum(img):
+            logits = self.run_D(vars_d, img, real_c, rng, bs, ada_p)
+            return jnp.sum(logits), logits
+
+        r1_grads, real_logits = jax.grad(d_sum, has_aux=True)(real_img)
+        r1_penalty = jnp.sum(jnp.square(r1_grads), axis=(1, 2, 3))
+        loss = r1_penalty * (self.cfg.r1_gamma / 2)
+        m: stats.Moments = {}
+        m = stats.report(m, "Loss/scores/real", real_logits)
+        m = stats.report(m, "Loss/signs/real", jnp.sign(real_logits))
+        m = stats.report(m, "Loss/r1_penalty", r1_penalty)
+        m = stats.report(m, "Loss/D/reg", loss)
+        return jnp.mean(loss), m
