@@ -79,6 +79,7 @@ def bias_act(
     if gain != 1:
         x = x * jnp.asarray(gain, dtype=x.dtype)
     if clamp is not None:
+        clamp = float(clamp)  # numpy scalars are strong-typed and would promote bf16
         assert clamp >= 0
         x = jnp.clip(x, -clamp, clamp)
     return x

@@ -23,6 +23,39 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def build_generator_from_cfg(cfg: str, *, resolution: int, channels: int, c_dim: int,
+                             cbase: int = 32768, cmax: int = 512,
+                             map_depth: Optional[int] = None, fp32: bool = False,
+                             z_dim: int = 512, w_dim: int = 512):
+    """Shared G constructor for train/gen/metric tools (reference config
+    branching, ``train_mi_multimodal.py:288-306``)."""
+    map_depth = map_depth or (8 if cfg == "stylegan2" else 2)
+    if cfg == "stylegan2":
+        from ..models.stylegan2 import Generator
+
+        return Generator(
+            z_dim=z_dim, c_dim=c_dim, w_dim=w_dim,
+            img_resolution=resolution, img_channels=channels,
+            mapping_kwargs=dict(num_layers=map_depth),
+            synthesis_kwargs=dict(
+                channel_base=cbase, channel_max=cmax,
+                num_fp16_res=0 if fp32 else 4,
+            ),
+        )
+    from ..models.stylegan3 import Generator as SG3Generator
+
+    mult = 2 if cfg == "stylegan3-r" else 1
+    return SG3Generator(
+        z_dim=z_dim, c_dim=c_dim, w_dim=w_dim,
+        img_resolution=resolution, img_channels=channels,
+        channel_base=cbase * mult, channel_max=cmax * mult,
+        conv_kernel=1 if cfg == "stylegan3-r" else 3,
+        use_radial_filters=(cfg == "stylegan3-r"),
+        num_fp16_res=0 if fp32 else 4,
+        mapping_kwargs=dict(num_layers=map_depth),
+    )
+
+
 def parse_comma_separated_list(ctx, param, value):
     if value is None or value == "" or value == "none":
         return []
@@ -164,28 +197,12 @@ def train(c, opts, run_dir, dataset_kwargs):
     c_dim = dataset.label_dim if opts.cond else 0
     print(f"Dataset: {dataset.name}  {len(dataset)} items  {res}x{res}x{channels}  labels={c_dim}")
 
-    if opts.cfg != "stylegan2":
-        from ..models.stylegan3 import Generator as SG3Generator
-
-        g = SG3Generator(
-            z_dim=c.G.z_dim, c_dim=c_dim, w_dim=c.G.w_dim,
-            img_resolution=res, img_channels=channels,
-            channel_base=c.G.channel_base * (2 if opts.cfg == "stylegan3-r" else 1),
-            channel_max=c.G.channel_max * (2 if opts.cfg == "stylegan3-r" else 1),
-            conv_kernel=1 if opts.cfg == "stylegan3-r" else 3,
-            use_radial_filters=(opts.cfg == "stylegan3-r"),
-            mapping_kwargs=dict(num_layers=c.G.map_depth),
-        )
-    else:
-        g = Generator(
-            z_dim=c.G.z_dim, c_dim=c_dim, w_dim=c.G.w_dim,
-            img_resolution=res, img_channels=channels,
-            mapping_kwargs=dict(num_layers=c.G.map_depth),
-            synthesis_kwargs=dict(
-                channel_base=c.G.channel_base, channel_max=c.G.channel_max,
-                num_fp16_res=c.G.num_fp16_res,
-            ),
-        )
+    g = build_generator_from_cfg(
+        opts.cfg, resolution=res, channels=channels, c_dim=c_dim,
+        cbase=c.G.channel_base, cmax=c.G.channel_max,
+        map_depth=c.G.map_depth, fp32=(c.G.num_fp16_res == 0),
+        z_dim=c.G.z_dim, w_dim=c.G.w_dim,
+    )
     d = Discriminator(
         c_dim=c_dim, img_resolution=res, img_channels=channels,
         channel_base=c.D.channel_base, channel_max=c.D.channel_max,

@@ -1,0 +1,142 @@
+"""Metrics machinery: FeatureStats math, FID/KID/PR/IS end-to-end with a
+tiny random detector and synthetic generator/dataset, caching."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gantrack_tpu.data.dataset import GANDataset
+from gantrack_tpu.metrics import (
+    Detector,
+    FeatureStats,
+    MetricOptions,
+    calc_metric,
+    list_valid_metrics,
+)
+from gantrack_tpu.metrics.feature_stats import cache_path
+
+
+class SyntheticDataset(GANDataset):
+    def __init__(self, n=64, res=16, c=1, seed=0):
+        self._rng = np.random.default_rng(seed)
+        self._data = (self._rng.random((n, res, res, c)) * 255).astype(np.float32)
+        super().__init__("synthetic", [n, res, res, c])
+
+    def _load_raw_image(self, raw_idx):
+        return self._data[raw_idx], f"img{raw_idx}"
+
+    def _load_raw_labels(self):
+        return None
+
+
+def _tiny_detector(dim=8):
+    """Random projection features from a fixed matrix."""
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (16 * 16 * 3, dim)) / 50
+
+    def apply_fn(params, imgs):
+        imgs = jax.image.resize(imgs, (imgs.shape[0], 16, 16, 3), "bilinear")
+        return (imgs.reshape(imgs.shape[0], -1) / 255.0) @ params
+
+    return Detector(apply_fn, w, name="tiny")
+
+
+def _opts(tmp_path=None, seed=0, gen_shift=0.0):
+    ds = SyntheticDataset()
+
+    def generator(z, c):
+        # fake generator: random [-1,1] images derived from z
+        key = jax.random.PRNGKey(int(jnp.sum(jnp.abs(z) * 100)) % (2**31))
+        return jax.random.uniform(key, (z.shape[0], 16, 16, 1)) * 2 - 1 + gen_shift
+
+    return MetricOptions(
+        generator=generator, z_dim=8, c_dim=0, dataset=ds,
+        detector=_tiny_detector(), batch_size=16, seed=seed,
+        cache_dir=str(tmp_path) if tmp_path else None,
+    )
+
+
+def test_feature_stats_mean_cov():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((500, 6)).astype(np.float32)
+    fs = FeatureStats(capture_mean_cov=True)
+    for i in range(0, 500, 64):
+        fs.append(x[i : i + 64])
+    mean, cov = fs.get_mean_cov()
+    np.testing.assert_allclose(mean, x.mean(0), atol=1e-5)
+    np.testing.assert_allclose(cov, np.cov(x.T, bias=True), atol=1e-4)
+
+
+def test_feature_stats_max_items():
+    fs = FeatureStats(capture_all=True, max_items=10)
+    fs.append(np.ones((7, 3)))
+    fs.append(np.ones((7, 3)))
+    assert fs.num_items == 10
+    assert fs.get_all().shape == (10, 3)
+
+
+def test_registry_lists_reference_metrics():
+    metrics = list_valid_metrics()
+    for m in ["fid50k_full", "fid10k", "kid50k_full", "pr50k3_full", "is50k"]:
+        assert m in metrics
+
+
+def test_fid_identical_distributions_near_zero(tmp_path):
+    """FID of the dataset against itself ≈ 0; a shifted generator scores
+    strictly worse."""
+    from gantrack_tpu.metrics.fid import compute_fid
+    from gantrack_tpu.metrics.metric_utils import compute_feature_stats_for_dataset
+
+    opts = _opts(tmp_path)
+    stats = compute_feature_stats_for_dataset(opts, capture_mean_cov=True, max_items=64)
+    mu, sigma = stats.get_mean_cov()
+    import scipy.linalg
+
+    s, _ = scipy.linalg.sqrtm(sigma @ sigma, disp=False)
+    self_fid = np.real(np.trace(sigma + sigma - 2 * s))
+    assert abs(self_fid) < 1e-3
+
+    fid_near = compute_fid(_opts(), max_real=64, num_gen=64)
+    fid_far = compute_fid(_opts(gen_shift=0.5), max_real=64, num_gen=64)
+    assert fid_far > fid_near
+
+
+def test_kid_and_pr_and_is_run():
+    from gantrack_tpu.metrics.kid import compute_kid
+    from gantrack_tpu.metrics.precision_recall import compute_pr
+    from gantrack_tpu.metrics.inception_score import compute_is
+
+    kid = compute_kid(_opts(), max_real=64, num_gen=64, num_subsets=5, max_subset_size=32)
+    assert np.isfinite(kid)
+    p, r = compute_pr(_opts(), max_real=64, num_gen=64, nhood_size=3)
+    assert 0 <= p <= 1 and 0 <= r <= 1
+    m, s = compute_is(_opts(), num_gen=64, num_splits=2)
+    assert np.isfinite(m) and np.isfinite(s)
+
+
+def test_dataset_feature_cache(tmp_path):
+    from gantrack_tpu.metrics.metric_utils import compute_feature_stats_for_dataset
+
+    opts = _opts(tmp_path)
+    s1 = compute_feature_stats_for_dataset(opts, capture_mean_cov=True, max_items=32)
+    # second call hits the cache (mutate the dataset to prove it)
+    opts.dataset._data[:] = 0
+    s2 = compute_feature_stats_for_dataset(opts, capture_mean_cov=True, max_items=32)
+    np.testing.assert_allclose(s1.get_mean_cov()[0], s2.get_mean_cov()[0])
+
+
+def test_calc_metric_timing_record():
+    rd = calc_metric("fid1k", _opts(), mode_name="CT")
+    assert rd["metric"] == "fid1k"
+    assert rd["mode"] == "CT"
+    assert "fid1k" in rd["results"]
+    assert rd["total_time"] > 0
+
+
+def test_ppl_runs():
+    from gantrack_tpu.metrics.ppl import compute_ppl
+
+    v = compute_ppl(_opts(), num_samples=32, batch_size=16)
+    assert np.isfinite(v)

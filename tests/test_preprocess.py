@@ -1,0 +1,131 @@
+"""Preprocessing parity: get_box/normalize/load_slice vs the reference
+claro functions (BASELINE config 1 requires bit-exactness), split
+determinism, NIfTI roundtrip, mask/resample sanity."""
+
+import numpy as np
+import pytest
+
+from gantrack_tpu.data.preprocess.medical import (
+    body_mask_slice,
+    clip_and_rescale_volume,
+    get_box,
+    load_slice,
+    normalize,
+    resample_volume,
+)
+from gantrack_tpu.data.preprocess.nifti import read_nifti, write_nifti
+from gantrack_tpu.data.preprocess.packaging import holdout_split
+from conftest import has_reference, import_reference_module
+
+requires_reference = pytest.mark.skipif(not has_reference(), reason="reference tree not present")
+
+
+@requires_reference
+@pytest.mark.parametrize("box", [
+    [10, 20, 50, 40],   # taller than wide
+    [20, 10, 40, 50],   # wider than tall
+    [10, 10, 40, 40],   # square
+    [0, 2, 30, 60],     # clipped at top edge
+    [30, 40, 62, 62],   # clipped at bottom/right
+])
+@pytest.mark.parametrize("perc_border", [0.0, 0.5])
+def test_get_box_bit_exact(box, perc_border):
+    umd = import_reference_module("genlib.utils.util_medical_data")
+    rng = np.random.default_rng(0)
+    img = rng.random((64, 64))
+    want = umd.get_box(img.copy(), list(box), perc_border=perc_border)
+    got = get_box(img.copy(), list(box), perc_border=perc_border)
+    assert want.shape == got.shape
+    np.testing.assert_array_equal(want, got)
+
+
+@requires_reference
+def test_normalize_bit_exact():
+    umd = import_reference_module("genlib.utils.util_medical_data")
+    rng = np.random.default_rng(1)
+    img = rng.random((32, 32)) * 2000 - 1000
+    for kwargs in [
+        dict(convert_to_uint8=False, scale_by_255=True),
+        dict(convert_to_uint8=True, scale_by_255=True),
+        dict(convert_to_uint8=False, scale_by_255=True, min_val=-1000, max_val=1000),
+        dict(convert_to_uint8=False, scale_by_255=False),
+    ]:
+        want = umd.normalize(img.copy(), **kwargs)
+        got = normalize(img.copy(), **kwargs)
+        np.testing.assert_array_equal(want, got)
+
+
+@requires_reference
+def test_load_slice_pipeline_bit_exact():
+    """Full claro per-slice pipeline: crop → cv2.resize → clip → normalize."""
+    umd = import_reference_module("genlib.utils.util_medical_data")
+    import cv2
+
+    rng = np.random.default_rng(2)
+    img = (rng.random((96, 80)) * 2000 - 1000).astype(np.float64)
+    box = [10, 8, 70, 60]
+    # reference loader() reads from disk; replicate its body on the array
+    ref = umd.get_box(img.copy(), list(box), perc_border=0.5)
+    ref = cv2.resize(ref, (64, 64))
+    ref = np.clip(ref, -1000, 1000)
+    ref = umd.normalize(ref, False, True, min_val=-1000, max_val=1000)
+
+    got = load_slice(
+        img.copy(), img_dim=64, box=list(box),
+        clip={"min": -1000, "max": 1000}, scale={"min": -1000, "max": 1000},
+        convert_to_uint8=False, scale_by_255=True,
+    )
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_clip_and_rescale_volume():
+    vol = np.linspace(-2000, 2000, 64).reshape(4, 4, 4)
+    out = clip_and_rescale_volume(vol, -1000, 1000)
+    assert out.min() == 0.0 and out.max() == 255.0
+    out01 = clip_and_rescale_volume(vol, percentiles=(1, 99), to_255=False)
+    assert 0 <= out01.min() and out01.max() <= 1
+
+
+def test_body_mask():
+    sl = np.zeros((32, 32))
+    sl[8:24, 8:24] = 100.0
+    sl[14:18, 14:18] = 0.0  # hole to fill
+    sl[2, 2] = 100.0  # small CC to drop
+    mask = body_mask_slice(sl, threshold=50.0)
+    assert mask[16, 16] == 1  # hole filled
+    assert mask[2, 2] == 0    # small CC removed
+    assert mask[0, 0] == 0
+
+
+def test_resample_volume():
+    vol = np.random.default_rng(3).random((32, 32, 5)).astype(np.float32)
+    out, zooms = resample_volume(vol, zooms=(1.0, 1.0, 3.0), zoom_level=2.0)
+    assert out.shape == (16, 16, 5)
+    assert zooms == (2.0, 2.0, 3.0)
+
+
+def test_holdout_split_deterministic():
+    patients = [f"P{i}" for i in range(20)]
+    s1 = holdout_split(list(patients))
+    s2 = holdout_split(list(reversed(patients)))  # order-insensitive (sorted first)
+    assert s1 == s2
+    assert len(s1["train"]) + len(s1["val"]) + len(s1["test"]) == 20
+    assert set(s1["train"]) & set(s1["test"]) == set()
+
+
+def test_nifti_roundtrip(tmp_path):
+    vol = np.random.default_rng(4).random((6, 7, 8)).astype(np.float32)
+    for name in ["v.nii", "v.nii.gz"]:
+        p = str(tmp_path / name)
+        write_nifti(p, vol, zooms=(0.5, 0.5, 3.0))
+        back, zooms = read_nifti(p)
+        np.testing.assert_array_equal(vol, back)
+        np.testing.assert_allclose(zooms, (0.5, 0.5, 3.0), rtol=1e-6)
+
+
+def test_nifti_int_dtype_roundtrip(tmp_path):
+    vol = (np.random.default_rng(5).integers(-1000, 1000, (4, 5, 6))).astype(np.int16)
+    p = str(tmp_path / "i.nii.gz")
+    write_nifti(p, vol)
+    back, _ = read_nifti(p)
+    np.testing.assert_array_equal(vol, back)
