@@ -306,6 +306,18 @@ class ShardedArrayDataset(GANDataset):
             return None
         return np.asarray(self._labels, dtype=np.int64)
 
+    def gather_batch(self, idx: np.ndarray, normalize: bool = True) -> np.ndarray:
+        """Fast whole-batch gather via the native C++ assembler
+        (``data/native.py``), honouring xflip doubling and max_size
+        remapping.  Returns ``[B, H, W, C]`` float32 (normalised to
+        [-1, 1] when ``normalize``)."""
+        from .native import assemble_batch
+
+        idx = np.asarray(idx, np.int64)
+        raw = self._raw_idx[idx]
+        flips = self._xflip[idx].astype(np.uint8)
+        return assemble_batch(self._shards, raw, flips, normalize=normalize)
+
 
 def open_dataset(path: str, **kwargs) -> GANDataset:
     """Dispatch by path: directory with index.json → sharded memmap;

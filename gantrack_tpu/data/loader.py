@@ -85,15 +85,17 @@ class InfiniteLoader:
             self._thread.start()
 
     def _make_batch(self) -> Tuple[np.ndarray, np.ndarray]:
-        imgs, labels = [], []
-        for _ in range(self.batch_size):
-            img, label, _fname = self.dataset[next(self._indices)]
-            imgs.append(img)
-            labels.append(label)
+        idx = [next(self._indices) for _ in range(self.batch_size)]
+        labels = np.stack([self.dataset.get_label(i) for i in idx]).astype(np.float32)
+        if hasattr(self.dataset, "gather_batch"):
+            # Native C++ batched gather (sharded memmap datasets).
+            images = self.dataset.gather_batch(np.asarray(idx), normalize=self.normalize)
+            return images, labels
+        imgs = [self.dataset[i][0] for i in idx]
         images = np.stack(imgs).astype(np.float32)
         if self.normalize:
             images = images / 127.5 - 1.0
-        return images, np.stack(labels).astype(np.float32)
+        return images, labels
 
     def _worker(self):
         while not self._stop.is_set():

@@ -397,7 +397,8 @@ class SynthesisNetwork(nn.Module):
         return n + 1  # + torgb of the last block (earlier torgbs reuse next block's w)
 
     @nn.compact
-    def __call__(self, ws: jax.Array, **block_kwargs) -> jax.Array:
+    def __call__(self, ws: jax.Array, update_emas: bool = False, **block_kwargs) -> jax.Array:
+        del update_emas  # SG2 synthesis has no EMAs (parity with reference signature)
         assert ws.shape[1] == self.num_ws and ws.shape[2] == self.w_dim
         ws = ws.astype(jnp.float32)
         resolutions = self.block_resolutions

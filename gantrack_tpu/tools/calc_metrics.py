@@ -65,8 +65,8 @@ def main(checkpoint, metrics, data, split, modalities, mirror, detector_weights,
     state = load_checkpoint(path, None)
     vars_g = {
         "params": state["params_g_ema"],
-        "emas": {"mapping": {"w_avg": state["w_avg"]}},
-        "noise_consts": state["noise_consts"],
+        "emas": state["emas_g"],
+        **state["consts_g"],
     }
 
     @jax.jit

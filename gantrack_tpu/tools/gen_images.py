@@ -92,8 +92,8 @@ def main(checkpoint, seeds, truncation_psi, trunc_cutoff, class_idx, translate, 
     state = load_checkpoint(path, None)
     vars_g = {
         "params": state["params_g_ema"],
-        "emas": {"mapping": {"w_avg": state["w_avg"]}},
-        "noise_consts": state["noise_consts"],
+        "emas": state["emas_g"],
+        **state["consts_g"],
     }
     if rotate != 0 or translate != (0, 0):
         # SG3 input transform injection (reference gen_images.py:122-126).

@@ -69,45 +69,62 @@ class StyleGAN2Loss:
 
     # ------------------------------------------------------------- helpers
 
-    def _mapping(self, vars_g, z, c):
-        return self.G.apply(
-            vars_g, z, c,
+    def _mapping(self, vars_g, z, c, update_emas: bool = False):
+        """Returns (ws, mutated_emas_or_None)."""
+        out = self.G.apply(
+            vars_g, z, c, update_emas=update_emas,
             method=lambda m, z, c, **kw: m.mapping(z, c, **kw),
+            mutable=["emas"] if update_emas else False,
         )
+        if update_emas:
+            ws, mutated = out
+            return ws, mutated.get("emas", {})
+        return out, None
 
-    def _synthesis(self, vars_g, ws, rng):
-        return self.G.apply(
-            vars_g, ws, noise_mode="random",
+    def _synthesis(self, vars_g, ws, rng, update_emas: bool = False):
+        """Returns (img, mutated_emas_or_None)."""
+        out = self.G.apply(
+            vars_g, ws, noise_mode="random", update_emas=update_emas,
             method=lambda m, ws, **kw: m.synthesis(ws, **kw),
             rngs={"noise": rng},
+            mutable=["emas"] if update_emas else False,
         )
+        if update_emas:
+            img, mutated = out
+            return img, mutated.get("emas", {})
+        return out, None
 
     def run_G(
-        self, vars_g, z, c, rng
-    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        self, vars_g, z, c, rng, update_emas: bool = False
+    ) -> Tuple[jax.Array, jax.Array, Optional[Dict]]:
         """mapping → style mixing → synthesis (reference ``loss.py:43-51``).
 
-        Returns (img, ws, w_batch_mean).  ``w_batch_mean`` is the
-        stop-gradient mean of the first-pass w (pre-mixing) — the train
-        step uses it for the replica-consistent ``w_avg`` EMA update (the
-        reference updates the buffer inside mapping,
-        ``networks_stylegan2.py:249-251``, with per-replica means).
+        With ``update_emas`` (the D-main fake pass, like the reference),
+        returns the mutated ``emas`` collection (w_avg for SG2, plus
+        per-layer magnitude_ema for SG3); the train step pmean-merges it
+        into state so replicas stay consistent (the reference lets
+        per-GPU buffers drift and broadcasts rank 0 at snapshots).
         """
         k_mix, k_cut, k_z2, k_noise = jax.random.split(rng, 4)
-        ws = self._mapping(vars_g, z, c)
+        ws, emas_map = self._mapping(vars_g, z, c, update_emas)
         num_ws = ws.shape[1]
-        w_batch_mean = jax.lax.stop_gradient(jnp.mean(ws[:, 0], axis=0))
         if self.cfg.style_mixing_prob > 0:
             cutoff = jax.random.randint(k_cut, (), 1, num_ws)
             cutoff = jnp.where(
                 jax.random.uniform(k_mix) < self.cfg.style_mixing_prob, cutoff, num_ws
             )
             z2 = jax.random.normal(k_z2, z.shape, z.dtype)
-            ws2 = self._mapping(vars_g, z2, c)
+            ws2, _ = self._mapping(vars_g, z2, c)
             mask = (jnp.arange(num_ws)[None, :, None] >= cutoff)
             ws = jnp.where(mask, ws2, ws)
-        img = self._synthesis(vars_g, ws, k_noise)
-        return img, ws, w_batch_mean
+        img, emas_syn = self._synthesis(vars_g, ws, k_noise, update_emas)
+        new_emas = None
+        if update_emas:
+            new_emas = dict(vars_g["emas"])
+            new_emas.update(emas_map or {})
+            new_emas.update(emas_syn or {})
+            new_emas = jax.lax.stop_gradient(new_emas)
+        return img, ws, new_emas
 
     def run_D(
         self, vars_d, img, c, rng, blur_sigma: Optional[jax.Array] = None, ada_p=None
@@ -168,7 +185,7 @@ class StyleGAN2Loss:
         k_g, k_noise, k_syn = jax.random.split(rng, 3)
 
         # ws via mapping + mixing (no EMA update in the PL pass).
-        ws = self._mapping(vars_g, z, c)
+        ws, _ = self._mapping(vars_g, z, c)
         num_ws = ws.shape[1]
         if self.cfg.style_mixing_prob > 0:
             k_mix, k_cut, k_z2 = jax.random.split(k_g, 3)
@@ -176,11 +193,11 @@ class StyleGAN2Loss:
             cutoff = jnp.where(
                 jax.random.uniform(k_mix) < self.cfg.style_mixing_prob, cutoff, num_ws
             )
-            ws2 = self._mapping(vars_g, jax.random.normal(k_z2, z.shape, z.dtype), c)
+            ws2, _ = self._mapping(vars_g, jax.random.normal(k_z2, z.shape, z.dtype), c)
             ws = jnp.where(jnp.arange(num_ws)[None, :, None] >= cutoff, ws2, ws)
 
         def img_dot_noise(ws_in, key):
-            img = self._synthesis(vars_g, ws_in, key)
+            img, _ = self._synthesis(vars_g, ws_in, key)
             pl_noise = jax.random.normal(k_noise, img.shape) / np.sqrt(
                 img.shape[1] * img.shape[2]
             )
@@ -199,19 +216,18 @@ class StyleGAN2Loss:
 
     def dmain(
         self, params_d, vars_g, z, c, real_img, real_c, rng, ada_p, cur_nimg
-    ) -> Tuple[jax.Array, Tuple[jax.Array, stats.Moments]]:
+    ) -> Tuple[jax.Array, Tuple[Dict, stats.Moments]]:
         """Discriminator main loss (reference ``loss.py:103-127``).
 
-        The fake pass is where the reference tracks w_avg
-        (``update_emas=True``); here the pre-mixing batch w mean is
-        returned in aux for the train step's EMA update.
-        Returns (loss, (w_batch_mean, moments)).
+        The fake pass runs G with ``update_emas=True`` (reference
+        semantics): w_avg and (SG3) magnitude EMAs update here.
+        Returns (loss, (new_emas_g, moments)).
         """
         k_g, k_df, k_dr = jax.random.split(rng, 3)
         vars_d = {"params": params_d}
         bs = self.blur_sigma(cur_nimg)
 
-        gen_img, _ws, w_batch_mean = self.run_G(vars_g, z, c, k_g)
+        gen_img, _ws, new_emas = self.run_G(vars_g, z, c, k_g, update_emas=True)
         gen_img = jax.lax.stop_gradient(gen_img)
         gen_logits = self.run_D(vars_d, gen_img, c, k_df, bs, ada_p)
         loss_dgen = jax.nn.softplus(gen_logits)
@@ -225,7 +241,7 @@ class StyleGAN2Loss:
         m = stats.report(m, "Loss/scores/real", real_logits)
         m = stats.report(m, "Loss/signs/real", jnp.sign(real_logits))
         m = stats.report(m, "Loss/D/loss", loss_dgen + loss_dreal)
-        return jnp.mean(loss_dgen) + jnp.mean(loss_dreal), (w_batch_mean, m)
+        return jnp.mean(loss_dgen) + jnp.mean(loss_dreal), (new_emas, m)
 
     def dr1(
         self, params_d, real_img, real_c, rng, ada_p, cur_nimg

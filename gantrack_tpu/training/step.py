@@ -93,10 +93,7 @@ class TrainStepper:
         rng_dev = jax.random.fold_in(rng_step, jax.lax.axis_index(DATA_AXIS))
         k = jax.random.split(rng_dev, 8)
 
-        extras_g = {
-            "emas": {"mapping": {"w_avg": state.w_avg}},
-            "noise_consts": state.noise_consts,
-        }
+        extras_g = {"emas": state.emas_g, **state.consts_g}
         params_g, params_d = state.params_g, state.params_d
         opt_g_state, opt_d_state = state.opt_g, state.opt_d
         moments: stats.Moments = {}
@@ -147,8 +144,8 @@ class TrainStepper:
 
         # ---------------------------------------------------- Dmain phase
         z, gen_c = sample_zc(k[4])
-        vars_g = {"params": params_g, **extras_g}
-        (loss_d, (w_batch_mean, m_d)), grads = jax.value_and_grad(
+        vars_g = {"params": params_g, **state.consts_g, "emas": state.emas_g}
+        (loss_d, (new_emas, m_d)), grads = jax.value_and_grad(
             loss.dmain, has_aux=True
         )(params_d, vars_g, z, gen_c, real_img, real_c, k[5], state.ada_p, cur_nimg)
         grads = _scrub(_pmean(grads))
@@ -156,12 +153,10 @@ class TrainStepper:
         params_d = optax.apply_updates(params_d, updates)
         moments = stats.merge(moments, m_d)
 
-        # w_avg EMA from the Dmain fake pass (reference semantics), with a
-        # pmean so replicas stay consistent (improvement over per-replica
-        # divergence in the reference).
-        w_mean = jax.lax.pmean(w_batch_mean, DATA_AXIS)
-        w_avg_beta = loss.G.mapping_kwargs.get("w_avg_beta", 0.998)
-        w_avg = w_mean + (state.w_avg - w_mean) * w_avg_beta
+        # EMA buffers (w_avg; SG3 magnitude_ema) from the Dmain fake pass
+        # (reference semantics), pmean'd so replicas stay consistent
+        # (improvement over per-replica drift in the reference).
+        emas_g = _pmean(new_emas) if new_emas is not None else state.emas_g
 
         # ------------------------------------------------------ Dreg (R1)
         if do_dr1:
@@ -210,7 +205,7 @@ class TrainStepper:
             params_g=params_g,
             params_d=params_d,
             params_g_ema=params_g_ema,
-            w_avg=w_avg,
+            emas_g=emas_g,
             opt_g=opt_g_state,
             opt_d=opt_d_state,
             pl_mean=pl_mean,

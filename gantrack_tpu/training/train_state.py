@@ -24,8 +24,8 @@ class GANTrainState:
     params_g: Any
     params_d: Any
     params_g_ema: Any
-    w_avg: jax.Array                  # mapping w EMA (replica-consistent)
-    noise_consts: Any                 # per-layer const noise buffers (static)
+    emas_g: Any                       # G's 'emas' collection (w_avg; SG3 magnitude_emas)
+    consts_g: Any                     # G's static buffer collections (noise consts, SG3 freqs)
     opt_g: optax.OptState
     opt_d: optax.OptState
     pl_mean: jax.Array                # path-length EMA baseline
@@ -35,19 +35,11 @@ class GANTrainState:
 
     @property
     def vars_g(self) -> Dict[str, Any]:
-        return {
-            "params": self.params_g,
-            "emas": {"mapping": {"w_avg": self.w_avg}},
-            "noise_consts": self.noise_consts,
-        }
+        return {"params": self.params_g, "emas": self.emas_g, **self.consts_g}
 
     @property
     def vars_g_ema(self) -> Dict[str, Any]:
-        return {
-            "params": self.params_g_ema,
-            "emas": {"mapping": {"w_avg": self.w_avg}},
-            "noise_consts": self.noise_consts,
-        }
+        return {"params": self.params_g_ema, "emas": self.emas_g, **self.consts_g}
 
     @property
     def vars_d(self) -> Dict[str, Any]:
@@ -77,6 +69,9 @@ def create_train_state(
 
     params_g = g_vars["params"]
     params_d = d_vars["params"]
+    consts_g = {
+        k: v for k, v in g_vars.items() if k not in ("params", "emas")
+    }
     return GANTrainState(
         step=jnp.asarray(0, jnp.int32),
         cur_nimg=jnp.asarray(0, jnp.int32),
@@ -84,8 +79,8 @@ def create_train_state(
         params_d=params_d,
         # real copy — sharing buffers with params_g breaks donation
         params_g_ema=jax.tree.map(jnp.copy, params_g),
-        w_avg=g_vars["emas"]["mapping"]["w_avg"],
-        noise_consts=g_vars.get("noise_consts", {}),
+        emas_g=g_vars.get("emas", {}),
+        consts_g=consts_g,
         opt_g=opt_g.init(params_g),
         opt_d=opt_d.init(params_d),
         pl_mean=jnp.asarray(0.0, jnp.float32),

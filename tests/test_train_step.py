@@ -119,7 +119,7 @@ def test_mesh_size_invariance():
 def test_w_avg_and_pl_mean_evolve():
     state, stepper, mesh = _setup(num_devices=2)
     img = shard_batch(mesh, jnp.asarray(_fake_batch()))
-    w0 = np.asarray(state.w_avg).copy()
+    w0 = np.asarray(state.emas_g["mapping"]["w_avg"]).copy()
     state, _ = stepper(state, img)
-    assert not np.allclose(np.asarray(state.w_avg), w0)
+    assert not np.allclose(np.asarray(state.emas_g["mapping"]["w_avg"]), w0)
     assert np.isfinite(float(state.pl_mean))
