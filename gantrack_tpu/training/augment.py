@@ -201,17 +201,10 @@ def _filter_bank() -> np.ndarray:
     return fbank.astype(np.float32)
 
 
-def compute_static_margin(cfg: AugmentConfig, height: int, width: int,
-                          samples: int = 4096, seed: int = 0) -> Tuple[int, int, int, int]:
-    """Conservative static pad margins (mx0, mx1, my0, my1).
-
-    Monte-Carlo over the transform distributions at p=1, taking the max
-    corner excursion + wavelet halo, clipped to the reference's
-    ``[0, size-1]`` bound (``augment_mi.py:297-300``).  Gaussian-tailed
-    magnitudes are evaluated at ±4.5σ in addition to the sampled maxima.
-    """
-    if not cfg.has_geometric:
-        return (0, 0, 0, 0)
+def _sample_transforms(cfg: AugmentConfig, height: int, width: int,
+                       samples: int, seed: int) -> np.ndarray:
+    """Monte-Carlo G_inv draws at p=1 (shared by the static margin and the
+    Pallas-warp window bounds)."""
     rng = np.random.default_rng(seed)
     n = samples
     g = np.broadcast_to(np.eye(3), (n, 3, 3)).copy()
@@ -245,7 +238,21 @@ def compute_static_margin(cfg: AugmentConfig, height: int, width: int,
     if cfg.xfrac > 0:
         t = np.clip(rng.standard_normal((n, 2)), -4.5, 4.5) * cfg.xfrac_std
         mm(_np_translate2d(-t[:, 0] * width, -t[:, 1] * height))
+    return g
 
+
+def compute_static_margin(cfg: AugmentConfig, height: int, width: int,
+                          samples: int = 4096, seed: int = 0) -> Tuple[int, int, int, int]:
+    """Conservative static pad margins (mx0, mx1, my0, my1).
+
+    Monte-Carlo over the transform distributions at p=1, taking the max
+    corner excursion + wavelet halo, clipped to the reference's
+    ``[0, size-1]`` bound (``augment_mi.py:297-300``).  Gaussian-tailed
+    magnitudes are evaluated at ±4.5σ in addition to the sampled maxima.
+    """
+    if not cfg.has_geometric:
+        return (0, 0, 0, 0)
+    g = _sample_transforms(cfg, height, width, samples, seed)
     cx = (width - 1) / 2
     cy = (height - 1) / 2
     corners = np.asarray([[-cx, -cy, 1], [cx, -cy, 1], [cx, cy, 1], [-cx, cy, 1]]).T  # [3,4]
@@ -290,11 +297,32 @@ def _np_rotate2d(theta):
 
 # -------------------------------------------------------------- pipeline
 
+def compute_warp_window(cfg: AugmentConfig, height: int, width: int,
+                        samples: int = 4096, seed: int = 0) -> Tuple[int, int]:
+    """Static Pallas-warp window bounds from the transform distribution.
+
+    The pixel-space source derivatives of the executed warp equal the
+    composed ``G_inv``'s 2×2 block (the pad/upsample conjugations are by
+    equal scalings on both sides), so the MC maxima bound them directly.
+    """
+    from ..ops.pallas.warp import window_bounds_for
+
+    g = _sample_transforms(cfg, height, width, samples, seed)
+    max_scale = float(np.max(np.abs(g[:, [0, 1], [0, 1]])))
+    max_shear = float(np.max(np.abs(g[:, [0, 1], [1, 0]])))
+    return window_bounds_for(max_scale, max_shear)
+
+
 class AugmentPipe:
     """Callable ``(images NHWC, p, rng) -> images`` for use inside the
-    jitted train step.  Construct once per resolution."""
+    jitted train step.  Construct once per resolution.
 
-    def __init__(self, cfg: AugmentConfig, height: int, width: int, num_channels: int):
+    ``impl``: 'auto' (Pallas warp kernel on TPU, gather-based grid_sample
+    elsewhere), 'pallas', 'gather', or 'pallas-interpret' (tests).
+    """
+
+    def __init__(self, cfg: AugmentConfig, height: int, width: int, num_channels: int,
+                 impl: str = "auto"):
         assert num_channels in (1, 2, 3), "reference supports L/RGB; 2ch = multimodal pairs"
         self.cfg = cfg
         self.height = height
@@ -303,6 +331,12 @@ class AugmentPipe:
         self.hz_geom = setup_filter(WAVELETS["sym6"])
         self.hz_fbank = jnp.asarray(_filter_bank())
         self.margin = compute_static_margin(cfg, height, width)
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "gather"
+        self.impl = impl
+        self.warp_window = (
+            compute_warp_window(cfg, height, width) if cfg.has_geometric else None
+        )
 
     # The implementation follows the reference section by section.
     def __call__(self, images: jax.Array, p: jax.Array, rng: jax.Array,
@@ -400,13 +434,22 @@ class AugmentPipe:
             out_w = (width + hz_pad * 2) * 2
             in_h, in_w = images.shape[1], images.shape[2]
             G_inv = scale2d(2 / in_w, 2 / in_h) @ G_inv @ scale2d_inv(2 / out_w, 2 / out_h)
-            # grid = G_inv @ normalised output coords (align_corners=False).
-            ys = (jnp.arange(out_h, dtype=jnp.float32) * 2 + 1) / out_h - 1
-            xs = (jnp.arange(out_w, dtype=jnp.float32) * 2 + 1) / out_w - 1
-            gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
-            coords = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)  # [H,W,3]
-            grid = jnp.einsum("nij,hwj->nhwi", G_inv[:, :2, :], coords)
-            images = grid_sample(images, grid)
+            if self.impl.startswith("pallas"):
+                from ..ops.pallas.warp import affine_warp
+
+                images = affine_warp(
+                    images, G_inv[:, :2, :], out_h, out_w,
+                    window=self.warp_window,
+                    interpret=(self.impl == "pallas-interpret"),
+                )
+            else:
+                # grid = G_inv @ normalised output coords (align_corners=False).
+                ys = (jnp.arange(out_h, dtype=jnp.float32) * 2 + 1) / out_h - 1
+                xs = (jnp.arange(out_w, dtype=jnp.float32) * 2 + 1) / out_w - 1
+                gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+                coords = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)  # [H,W,3]
+                grid = jnp.einsum("nij,hwj->nhwi", G_inv[:, :2, :], coords)
+                images = grid_sample(images, grid)
 
             # Downsample and crop back to [height, width].
             images = downsample2d(images, self.hz_geom, down=2, padding=-hz_pad * 2, flip_filter=True)

@@ -107,6 +107,10 @@ class StyleGAN2Loss:
         """
         k_mix, k_cut, k_z2, k_noise = jax.random.split(rng, 4)
         ws, emas_map = self._mapping(vars_g, z, c, update_emas)
+        if update_emas and emas_map:
+            # Chain the updated collection into the synthesis pass so its
+            # (full-collection) mutable return carries the new values too.
+            vars_g = {**vars_g, "emas": emas_map}
         num_ws = ws.shape[1]
         if self.cfg.style_mixing_prob > 0:
             cutoff = jax.random.randint(k_cut, (), 1, num_ws)
@@ -120,9 +124,7 @@ class StyleGAN2Loss:
         img, emas_syn = self._synthesis(vars_g, ws, k_noise, update_emas)
         new_emas = None
         if update_emas:
-            new_emas = dict(vars_g["emas"])
-            new_emas.update(emas_map or {})
-            new_emas.update(emas_syn or {})
+            new_emas = emas_syn if emas_syn else (emas_map or vars_g["emas"])
             new_emas = jax.lax.stop_gradient(new_emas)
         return img, ws, new_emas
 
