@@ -6,30 +6,31 @@ generic gather formulation to scalar loads — profiled at ~420 ms for a
 batch-32 warp at 524² on v5e, 76% of the whole training step.  This
 kernel removes the gathers entirely:
 
-* per output tile ``[TR=8, TC=128]``, the (monotone, affine) source
-  footprint is one contiguous window ``[WR, WC]``, dynamically sliced
-  out of the sample's image held in VMEM;
-* bilinear interpolation is expressed as two *one-hot weight matrices*
-  built in-register from ``iota`` (``w = max(0, 1-|pos-i|)``) and applied
-  as an MXU matmul + a VPU contraction — no data-dependent addressing;
+* per output tile ``[TR=8 rows, TC=128 cols]``, the (affine, monotone)
+  source footprint is one contiguous ``[WR, WC]`` window, dynamically
+  sliced from the sample's image resident in VMEM;
+* bilinear interpolation is expressed as *one-hot hat weights* built
+  in-register from ``iota`` and applied as MXU matmuls over the window —
+  no data-dependent addressing;
 * zeros-padding semantics fall out naturally (out-of-window positions
-  get zero weight).
+  get zero weight);
+* all tensors are 2-D ``[K, TC]`` column-major stripes — no reshapes or
+  transposes (Mosaic layout-friendly).
 
-The backward pass (needed because R1 differentiates through the augment
-pipe) is the adjoint splat, implemented with the same tiling and
-sequential-grid accumulation into the per-sample VMEM image-grad block.
+The backward pass (R1 differentiates through the augment pipe) is the
+adjoint splat with the same tiling, accumulating into the per-sample
+VMEM image-grad block (sequential TPU grid ⇒ race-free).
 
-Window sizes ``WR/WC`` are static, chosen by the caller from the
-transform-magnitude bounds (same Monte-Carlo machinery as the static
-reflect-pad margin); draws beyond them lose their off-window taps, the
-same tail-clipping class of behaviour as the reference's ``width-1``
-margin clamp.
+Window sizes ``WR/WC`` are static, chosen from transform-magnitude
+bounds (same Monte-Carlo machinery as the static reflect-pad margin);
+draws beyond them lose their off-window taps — the same tail-clipping
+class of behaviour as the reference's ``width-1`` margin clamp.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,53 +42,62 @@ TR = 8     # output rows per tile (sublane)
 TC = 128   # output cols per tile (lane)
 
 
-def _bilinear_weights(rel: jax.Array, width: int) -> jax.Array:
-    """[P, 1] fractional positions -> [P, width] hat-function weights."""
-    idx = jax.lax.broadcasted_iota(jnp.int32, (rel.shape[0], width), 1).astype(jnp.float32)
-    return jnp.maximum(0.0, 1.0 - jnp.abs(idx - rel))
+def _hat_rows(pos_row: jax.Array, height: int) -> jax.Array:
+    """[1, TC] positions -> [height, TC] bilinear hat weights (sublane-major)."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, (height, TC), 0).astype(jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(idx - pos_row))
 
 
-def _tile_coords(coeff_ref, b, r, c):
-    """Per-tile flattened source coords.
+def _coeffs(coeff_ref, b):
+    return tuple(coeff_ref[b, i] for i in range(6))
 
-    SMEM coeffs[b] = (ax, bx, cx, ay, by, cy), pixel-space:
-      fx = ax*x + bx*y + cx ;  fy = ay*x + by*y + cy.
-    Scalars are read individually (SMEM only supports scalar loads).
-    """
-    ax, bx, cx, ay, by, cy = (coeff_ref[b, i] for i in range(6))
-    y0 = (r * TR).astype(jnp.float32)
+
+def _window_origin(ax, bx, cx, ay, by, cy, r, c, wr, wc, h_in, w_in):
+    """Clamped window start from the tile-corner extremes (affine ⇒ the
+    extrema are at corners)."""
     x0 = (c * TC).astype(jnp.float32)
-    yy = y0 + jax.lax.broadcasted_iota(jnp.int32, (TR, TC), 0).astype(jnp.float32)
-    xx = x0 + jax.lax.broadcasted_iota(jnp.int32, (TR, TC), 1).astype(jnp.float32)
-    fx = ax * xx + bx * yy + cx
-    fy = ay * xx + by * yy + cy
-    return fx.reshape(TR * TC, 1), fy.reshape(TR * TC, 1)
+    y0 = (r * TR).astype(jnp.float32)
+    xs = (x0, x0 + TC - 1)
+    ys = (y0, y0 + TR - 1)
+    fxs = [ax * xa + bx * ya + cx for xa in xs for ya in ys]
+    fys = [ay * xa + by * ya + cy for xa in xs for ya in ys]
+    fx_min = jnp.minimum(jnp.minimum(fxs[0], fxs[1]), jnp.minimum(fxs[2], fxs[3]))
+    fy_min = jnp.minimum(jnp.minimum(fys[0], fys[1]), jnp.minimum(fys[2], fys[3]))
+    c0 = jnp.clip(jnp.floor(fx_min) - 1, 0, w_in - wc).astype(jnp.int32)
+    r0 = jnp.clip(jnp.floor(fy_min) - 1, 0, h_in - wr).astype(jnp.int32)
+    # Mosaic requires provably aligned dynamic-slice starts; the window
+    # bounds include the alignment slack (window_bounds_for).
+    r0 = pl.multiple_of((r0 // 8) * 8, 8)
+    c0 = pl.multiple_of((c0 // 128) * 128, 128)
+    return r0, c0, x0, y0
 
 
 def _warp_kernel(coeff_ref, img_ref, out_ref, *, wr, wc, h_in, w_in):
     b = pl.program_id(0)
     r = pl.program_id(1)
     c = pl.program_id(2)
-    fx, fy = _tile_coords(coeff_ref, b, r, c)
-
-    # Window origin: clamp into the image so the slice is always valid.
-    r0 = jnp.clip(jnp.floor(jnp.min(fy)), 0, h_in - wr).astype(jnp.int32)
-    c0 = jnp.clip(jnp.floor(jnp.min(fx)), 0, w_in - wc).astype(jnp.int32)
+    ax, bx, cx, ay, by, cy = _coeffs(coeff_ref, b)
+    r0, c0, x0, y0 = _window_origin(ax, bx, cx, ay, by, cy, r, c, wr, wc, h_in, w_in)
     win = img_ref[0, pl.ds(r0, wr), pl.ds(c0, wc)]  # [wr, wc]
 
-    wx = _bilinear_weights(fx - c0.astype(jnp.float32), wc)  # [P, wc]
-    wy = _bilinear_weights(fy - r0.astype(jnp.float32), wr)  # [P, wr]
+    xi = jax.lax.broadcasted_iota(jnp.int32, (1, TC), 1).astype(jnp.float32) + x0
+    r0f = r0.astype(jnp.float32)
+    c0f = c0.astype(jnp.float32)
+    for y in range(TR):
+        yy = y0 + y
+        fx = ax * xi + (bx * yy + cx) - c0f      # [1, TC]
+        fy = ay * xi + (by * yy + cy) - r0f      # [1, TC]
+        wx = _hat_rows(fx, wc)                   # [wc, TC]
+        wy = _hat_rows(fy, wr)                   # [wr, TC]
+        s = jax.lax.dot_general(
+            win, wx, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                        # [wr, TC]
+        val = jnp.sum(wy * s, axis=0, keepdims=True)  # [1, TC]
+        out_ref[0, y : y + 1, :] = val
 
-    s = jax.lax.dot_general(
-        wx, win,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [P, wr]
-    out = jnp.sum(wy * s, axis=1)
-    out_ref[0] = out.reshape(TR, TC)
 
-
-def _splat_kernel(coeff_ref, g_ref, out_ref, *, wr, wc, h_in, w_in, tiles_r, tiles_c):
+def _splat_kernel(coeff_ref, g_ref, out_ref, *, wr, wc, h_in, w_in):
     b = pl.program_id(0)
     r = pl.program_id(1)
     c = pl.program_id(2)
@@ -96,19 +106,24 @@ def _splat_kernel(coeff_ref, g_ref, out_ref, *, wr, wc, h_in, w_in, tiles_r, til
     def _():
         out_ref[0] = jnp.zeros((h_in, w_in), jnp.float32)
 
-    fx, fy = _tile_coords(coeff_ref, b, r, c)
-    r0 = jnp.clip(jnp.floor(jnp.min(fy)), 0, h_in - wr).astype(jnp.int32)
-    c0 = jnp.clip(jnp.floor(jnp.min(fx)), 0, w_in - wc).astype(jnp.int32)
+    ax, bx, cx, ay, by, cy = _coeffs(coeff_ref, b)
+    r0, c0, x0, y0 = _window_origin(ax, bx, cx, ay, by, cy, r, c, wr, wc, h_in, w_in)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (1, TC), 1).astype(jnp.float32) + x0
+    r0f = r0.astype(jnp.float32)
+    c0f = c0.astype(jnp.float32)
 
-    wx = _bilinear_weights(fx - c0.astype(jnp.float32), wc)  # [P, wc]
-    wy = _bilinear_weights(fy - r0.astype(jnp.float32), wr)  # [P, wr]
-    g = g_ref[0].reshape(TR * TC, 1)
-
-    acc = jax.lax.dot_general(
-        wy * g, wx,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [wr, wc]
+    acc = jnp.zeros((wr, wc), jnp.float32)
+    for y in range(TR):
+        yy = y0 + y
+        fx = ax * xi + (bx * yy + cx) - c0f
+        fy = ay * xi + (by * yy + cy) - r0f
+        wx = _hat_rows(fx, wc)                   # [wc, TC]
+        wy = _hat_rows(fy, wr)                   # [wr, TC]
+        g = g_ref[0, y : y + 1, :]               # [1, TC]
+        acc = acc + jax.lax.dot_general(
+            wy * g, wx, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                        # [wr, wc]
     cur = out_ref[0, pl.ds(r0, wr), pl.ds(c0, wc)]
     out_ref[0, pl.ds(r0, wr), pl.ds(c0, wc)] = cur + acc
 
@@ -117,14 +132,17 @@ def _pad_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6)
-)
+# The warp and its adjoint (splat) are both linear in their image input;
+# each is registered as the other's VJP, so arbitrary-order derivatives
+# (R1's double-backward differentiates *through* the augment warp)
+# ping-pong between the two kernels.
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _affine_warp_planes(img, coeffs, out_h, out_w, wr, wc, interpret):
-    return _affine_warp_fwd_impl(img, coeffs, out_h, out_w, wr, wc, interpret)
+    return _warp_call(img, coeffs, out_h, out_w, wr, wc, interpret)
 
 
-def _affine_warp_fwd_impl(img, coeffs, out_h, out_w, wr, wc, interpret):
+def _warp_call(img, coeffs, out_h, out_w, wr, wc, interpret):
     b, h_in, w_in = img.shape
     oh, ow = _pad_up(out_h, TR), _pad_up(out_w, TC)
     grid = (b, oh // TR, ow // TC)
@@ -144,21 +162,18 @@ def _affine_warp_fwd_impl(img, coeffs, out_h, out_w, wr, wc, interpret):
     return out[:, :out_h, :out_w]
 
 
-def _affine_warp_fwd(img, coeffs, out_h, out_w, wr, wc, interpret):
-    return (
-        _affine_warp_fwd_impl(img, coeffs, out_h, out_w, wr, wc, interpret),
-        (img.shape, coeffs),
-    )
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _affine_splat_planes(g, coeffs, h_in, w_in, wr, wc, interpret, out_hw):
+    return _splat_call(g, coeffs, h_in, w_in, wr, wc, interpret)
 
 
-def _affine_warp_bwd(out_h, out_w, wr, wc, interpret, res, g):
-    (b, h_in, w_in), coeffs = res
+def _splat_call(g, coeffs, h_in, w_in, wr, wc, interpret):
+    b, out_h, out_w = g.shape
     oh, ow = _pad_up(out_h, TR), _pad_up(out_w, TC)
     g = jnp.pad(g, ((0, 0), (0, oh - out_h), (0, ow - out_w)))
     grid = (b, oh // TR, ow // TC)
-    img_grad = pl.pallas_call(
-        functools.partial(_splat_kernel, wr=wr, wc=wc, h_in=h_in, w_in=w_in,
-                          tiles_r=oh // TR, tiles_c=ow // TC),
+    return pl.pallas_call(
+        functools.partial(_splat_kernel, wr=wr, wc=wc, h_in=h_in, w_in=w_in),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -170,22 +185,46 @@ def _affine_warp_bwd(out_h, out_w, wr, wc, interpret, res, g):
         out_shape=jax.ShapeDtypeStruct((b, h_in, w_in), jnp.float32),
         interpret=interpret,
     )(coeffs, g)
+
+
+def _affine_warp_fwd(img, coeffs, out_h, out_w, wr, wc, interpret):
+    return (
+        _warp_call(img, coeffs, out_h, out_w, wr, wc, interpret),
+        (img.shape, coeffs),
+    )
+
+
+def _affine_warp_bwd(out_h, out_w, wr, wc, interpret, res, g):
+    (b, h_in, w_in), coeffs = res
+    img_grad = _affine_splat_planes(
+        g, coeffs, h_in, w_in, wr, wc, interpret, (out_h, out_w)
+    )
     return img_grad, jnp.zeros_like(coeffs)
 
 
+def _affine_splat_fwd(g, coeffs, h_in, w_in, wr, wc, interpret, out_hw):
+    return _splat_call(g, coeffs, h_in, w_in, wr, wc, interpret), coeffs
+
+
+def _affine_splat_bwd(h_in, w_in, wr, wc, interpret, out_hw, coeffs, gg):
+    out_h, out_w = out_hw
+    g_grad = _affine_warp_planes(gg, coeffs, out_h, out_w, wr, wc, interpret)
+    return g_grad, jnp.zeros_like(coeffs)
+
+
 _affine_warp_planes.defvjp(_affine_warp_fwd, _affine_warp_bwd)
+_affine_splat_planes.defvjp(_affine_splat_fwd, _affine_splat_bwd)
 
 
 def window_bounds_for(max_scale: float, max_shear: float) -> Tuple[int, int]:
     """Static window sizes from transform bounds.
 
     ``max_scale`` bounds |∂src/∂same-axis| (a, d entries); ``max_shear``
-    bounds the cross terms (b, c).  +3 covers the bilinear halo and the
-    floor clamp.
+    bounds the cross terms (b, c).  +4 covers the bilinear halo and the
+    floor/clamp guards; +8/+128 covers the aligned-origin flooring.
     """
-    wr = int(np.ceil(max_scale * TR + max_shear * TC)) + 3
-    wc = int(np.ceil(max_scale * TC + max_shear * TR)) + 3
-    # Round WC up to the lane size for clean layouts; WR to sublane.
+    wr = int(np.ceil(max_scale * TR + max_shear * TC)) + 4 + 8
+    wc = int(np.ceil(max_scale * TC + max_shear * TR)) + 4 + 128
     return _pad_up(wr, 8), _pad_up(wc, 128)
 
 
@@ -216,7 +255,7 @@ def affine_warp(
     bx = t[:, 0, 1] * (w_in / out_h)
     cx = (w_in / 2) * (t[:, 0, 0] * (1 / out_w - 1) + t[:, 0, 1] * (1 / out_h - 1)
                        + t[:, 0, 2] + 1) - 0.5
-    ay = t[:, 1, 0] * (w_in / out_w) * (h_in / w_in)
+    ay = t[:, 1, 0] * (h_in / out_w)
     by = t[:, 1, 1] * (h_in / out_h)
     cy = (h_in / 2) * (t[:, 1, 0] * (1 / out_w - 1) + t[:, 1, 1] * (1 / out_h - 1)
                        + t[:, 1, 2] + 1) - 0.5

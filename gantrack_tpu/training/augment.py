@@ -341,6 +341,15 @@ class AugmentPipe:
     # The implementation follows the reference section by section.
     def __call__(self, images: jax.Array, p: jax.Array, rng: jax.Array,
                  debug_percentile: Optional[float] = None) -> jax.Array:
+        # The 3×3 transform chains and the sampling-grid product must be
+        # exact f32: TPU default (bf16-input) matmuls shift sampling
+        # coordinates by whole pixels.  All heavy image work inside
+        # already pins its own precision.
+        with jax.default_matmul_precision("highest"):
+            return self._apply(images, p, rng, debug_percentile)
+
+    def _apply(self, images: jax.Array, p: jax.Array, rng: jax.Array,
+               debug_percentile: Optional[float] = None) -> jax.Array:
         cfg = self.cfg
         n, height, width, channels = images.shape
         assert (height, width, channels) == (self.height, self.width, self.num_channels)

@@ -57,6 +57,30 @@ def test_flip_transform():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
+def test_double_backward_matches_grid_sample():
+    """R1-style grad-of-grad through the warp (splat's VJP = warp)."""
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.standard_normal((1, 32, 40, 1)).astype(np.float32))
+    theta = _random_theta(1, rng)
+    win = window_bounds_for(1.5, 0.2)
+
+    def make_r1(warp_fn):
+        def r1(x):
+            def dsum(xi):
+                return jnp.sum(jnp.tanh(warp_fn(xi)))
+
+            g = jax.grad(dsum)(x)
+            return jnp.sum(jnp.square(g))
+
+        return r1
+
+    r1_ref = make_r1(lambda x: grid_sample(x, affine_grid(theta, 24, 32)))
+    r1_pal = make_r1(lambda x: affine_warp(x, theta, 24, 32, window=win, interpret=True))
+    gg_ref = jax.grad(r1_ref)(img)
+    gg_pal = jax.grad(r1_pal)(img)
+    np.testing.assert_allclose(np.asarray(gg_pal), np.asarray(gg_ref), rtol=1e-3, atol=1e-4)
+
+
 def test_augment_pipe_pallas_interpret_matches_gather():
     from gantrack_tpu.training.augment import AugmentPipe, medical_augment_config
 
