@@ -59,12 +59,15 @@ def _scrub(grads):
     )
 
 
-def _pmean(tree):
-    return jax.tree.map(lambda g: jax.lax.pmean(g, DATA_AXIS), tree)
-
-
 class TrainStepper:
-    """Builds and dispatches the 4 compiled (Greg?, Dreg?) step variants."""
+    """Builds and dispatches the 4 compiled (Greg?, Dreg?) step variants.
+
+    Single-device meshes use a plain-``jit`` fast path with identity
+    collectives (mathematically equal to a 1-device ``shard_map``, and
+    ~100× faster on the axon single-chip runtime, where shard_map's SPMD
+    wrapping serialises execution).  Multi-device meshes use ``shard_map``
+    with real psums.
+    """
 
     def __init__(
         self,
@@ -79,7 +82,25 @@ class TrainStepper:
         self.opt_d = opt_d
         self.cfg = cfg
         self.mesh = mesh
+        self._single = int(mesh.devices.size) == 1
         self._steps: Dict[Tuple[bool, bool], Callable] = {}
+
+    # --------------------------------------------- collective indirection
+
+    def _axis_index(self):
+        if self._single:
+            return jnp.asarray(0, jnp.int32)
+        return jax.lax.axis_index(DATA_AXIS)
+
+    def _pmean(self, tree):
+        if self._single:
+            return tree
+        return jax.tree.map(lambda g: jax.lax.pmean(g, DATA_AXIS), tree)
+
+    def _psum_moments(self, moments):
+        if self._single:
+            return moments
+        return stats.psum_moments(moments, DATA_AXIS)
 
     # ------------------------------------------------------------------
 
@@ -90,7 +111,7 @@ class TrainStepper:
         local_b = real_img.shape[0]
 
         rng_step = jax.random.fold_in(state.rng, state.step)
-        rng_dev = jax.random.fold_in(rng_step, jax.lax.axis_index(DATA_AXIS))
+        rng_dev = jax.random.fold_in(rng_step, self._axis_index())
         k = jax.random.split(rng_dev, 8)
 
         extras_g = {"emas": state.emas_g, **state.consts_g}
@@ -118,7 +139,7 @@ class TrainStepper:
             params_g, extras_g, {"params": params_d}, z, gen_c, k[1],
             state.ada_p, cur_nimg,
         )
-        grads = _scrub(_pmean(grads))
+        grads = _scrub(self._pmean(grads))
         updates, opt_g_state = self.opt_g.update(grads, opt_g_state, params_g)
         params_g = optax.apply_updates(params_g, updates)
         moments = stats.merge(moments, m_g)
@@ -136,10 +157,10 @@ class TrainStepper:
             (_, (new_pl_mean, m_pl)), grads = jax.value_and_grad(
                 gpl_scaled, has_aux=True
             )(params_g)
-            grads = _scrub(_pmean(grads))
+            grads = _scrub(self._pmean(grads))
             updates, opt_g_state = self.opt_g.update(grads, opt_g_state, params_g)
             params_g = optax.apply_updates(params_g, updates)
-            pl_mean = jax.lax.pmean(new_pl_mean, DATA_AXIS)
+            pl_mean = self._pmean(new_pl_mean)
             moments = stats.merge(moments, m_pl)
 
         # ---------------------------------------------------- Dmain phase
@@ -148,7 +169,7 @@ class TrainStepper:
         (loss_d, (new_emas, m_d)), grads = jax.value_and_grad(
             loss.dmain, has_aux=True
         )(params_d, vars_g, z, gen_c, real_img, real_c, k[5], state.ada_p, cur_nimg)
-        grads = _scrub(_pmean(grads))
+        grads = _scrub(self._pmean(grads))
         updates, opt_d_state = self.opt_d.update(grads, opt_d_state, params_d)
         params_d = optax.apply_updates(params_d, updates)
         moments = stats.merge(moments, m_d)
@@ -156,7 +177,7 @@ class TrainStepper:
         # EMA buffers (w_avg; SG3 magnitude_ema) from the Dmain fake pass
         # (reference semantics), pmean'd so replicas stay consistent
         # (improvement over per-replica drift in the reference).
-        emas_g = _pmean(new_emas) if new_emas is not None else state.emas_g
+        emas_g = self._pmean(new_emas) if new_emas is not None else state.emas_g
 
         # ------------------------------------------------------ Dreg (R1)
         if do_dr1:
@@ -167,7 +188,7 @@ class TrainStepper:
                 return l * gain, m
 
             (_, m_r1), grads = jax.value_and_grad(dr1_scaled, has_aux=True)(params_d)
-            grads = _scrub(_pmean(grads))
+            grads = _scrub(self._pmean(grads))
             updates, opt_d_state = self.opt_d.update(grads, opt_d_state, params_d)
             params_d = optax.apply_updates(params_d, updates)
             moments = stats.merge(moments, m_r1)
@@ -182,7 +203,7 @@ class TrainStepper:
         )
 
         # ------------------------------------------------ ADA controller
-        moments = stats.psum_moments(moments, DATA_AXIS)
+        moments = self._psum_moments(moments)
         ada_p = state.ada_p
         ada_signs = state.ada_signs
         if cfg.ada_target is not None:
@@ -218,6 +239,8 @@ class TrainStepper:
 
     def _build(self, do_gpl: bool, do_dr1: bool):
         fn = functools.partial(self._device_step, do_gpl, do_dr1)
+        if self._single:
+            return jax.jit(fn, donate_argnums=(0,))
         mapped = jax.shard_map(
             fn,
             mesh=self.mesh,
