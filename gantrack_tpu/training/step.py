@@ -50,6 +50,10 @@ class TrainStepConfig:
     ada_target: Optional[float] = None      # None = ADA controller off
     ada_interval: int = 4
     ada_kimg: float = 500.0
+    micro_batches: int = 1            # gradient accumulation (reference batch_gpu:
+    #   local batch is processed in this many lax.scan chunks per phase;
+    #   per-chunk mean-grads are SUMMED, matching the reference's
+    #   accumulate-then-all_reduce semantics, training_loop:333-351)
 
 
 def _scrub(grads):
@@ -102,6 +106,36 @@ class TrainStepper:
             return moments
         return stats.psum_moments(moments, DATA_AXIS)
 
+    # --------------------------------------- gradient accumulation helpers
+
+    @staticmethod
+    def _chunk(x, m):
+        """[B, ...] -> [m, B//m, ...]"""
+        return x.reshape(m, x.shape[0] // m, *x.shape[1:])
+
+    @staticmethod
+    def _sum_scanned_moments(ms):
+        """Scan-stacked moment dicts {name: [M, 3]} -> summed {name: [3]}."""
+        return {k: jnp.sum(v, axis=0) for k, v in ms.items()}
+
+    def _accum(self, grad_fn, params, chunked_inputs, carry_init=None):
+        """Sum per-chunk mean-grads over a lax.scan (reference semantics:
+        ``accumulate_gradients`` per micro-batch, grads summed,
+        ``training_loop:333-351``).
+
+        ``grad_fn(params, carry, *chunk) -> (grads, new_carry, moments)``.
+        Returns (grads, carry, moments-summed).
+        """
+        zero_grads = jax.tree.map(jnp.zeros_like, params)
+
+        def body(acc, chunk):
+            grads_acc, carry = acc
+            grads, carry, m = grad_fn(params, carry, *chunk)
+            return (jax.tree.map(jnp.add, grads_acc, grads), carry), m
+
+        (grads, carry), ms = jax.lax.scan(body, (zero_grads, carry_init), chunked_inputs)
+        return grads, carry, self._sum_scanned_moments(ms)
+
     # ------------------------------------------------------------------
 
     def _device_step(self, do_gpl: bool, do_dr1: bool, state: GANTrainState,
@@ -134,11 +168,27 @@ class TrainStepper:
             return z, c
 
         # ---------------------------------------------------- Gmain phase
+        M = cfg.micro_batches
         z, gen_c = sample_zc(k[0])
-        (loss_g, m_g), grads = jax.value_and_grad(loss.gmain, has_aux=True)(
-            params_g, extras_g, {"params": params_d}, z, gen_c, k[1],
-            state.ada_p, cur_nimg,
-        )
+        if M == 1:
+            (loss_g, m_g), grads = jax.value_and_grad(loss.gmain, has_aux=True)(
+                params_g, extras_g, {"params": params_d}, z, gen_c, k[1],
+                state.ada_p, cur_nimg,
+            )
+        else:
+            def gmain_chunk(p, carry, zc, cc, key):
+                c_arg = cc if cfg.c_dim > 0 else None
+                (_, m), g = jax.value_and_grad(loss.gmain, has_aux=True)(
+                    p, extras_g, {"params": params_d}, zc, c_arg, key,
+                    state.ada_p, cur_nimg,
+                )
+                return g, carry, m
+
+            cc = self._chunk(gen_c if gen_c is not None else jnp.zeros((local_b, 0)), M)
+            grads, _, m_g = self._accum(
+                gmain_chunk, params_g,
+                (self._chunk(z, M), cc, jax.random.split(k[1], M)),
+            )
         grads = _scrub(self._pmean(grads))
         updates, opt_g_state = self.opt_g.update(grads, opt_g_state, params_g)
         params_g = optax.apply_updates(params_g, updates)
@@ -149,14 +199,31 @@ class TrainStepper:
         if do_gpl:
             gain = float(cfg.g_reg_interval)
             z, gen_c = sample_zc(k[2])
+            if M == 1:
+                def gpl_scaled(p):
+                    l, aux = loss.gpl(p, extras_g, z, gen_c, k[3], pl_mean)
+                    return l * gain, aux
 
-            def gpl_scaled(p):
-                l, aux = loss.gpl(p, extras_g, z, gen_c, k[3], pl_mean)
-                return l * gain, aux
+                (_, (new_pl_mean, m_pl)), grads = jax.value_and_grad(
+                    gpl_scaled, has_aux=True
+                )(params_g)
+            else:
+                def gpl_chunk(p, pl_carry, zc, cc, key):
+                    c_arg = cc if cfg.c_dim > 0 else None
 
-            (_, (new_pl_mean, m_pl)), grads = jax.value_and_grad(
-                gpl_scaled, has_aux=True
-            )(params_g)
+                    def scaled(pp):
+                        l, aux = loss.gpl(pp, extras_g, zc, c_arg, key, pl_carry)
+                        return l * gain, aux
+
+                    (_, (new_pl, m)), g = jax.value_and_grad(scaled, has_aux=True)(p)
+                    return g, new_pl, m
+
+                cc = self._chunk(gen_c if gen_c is not None else jnp.zeros((local_b, 0)), M)
+                grads, new_pl_mean, m_pl = self._accum(
+                    gpl_chunk, params_g,
+                    (self._chunk(z, M), cc, jax.random.split(k[3], M)),
+                    carry_init=pl_mean,
+                )
             grads = _scrub(self._pmean(grads))
             updates, opt_g_state = self.opt_g.update(grads, opt_g_state, params_g)
             params_g = optax.apply_updates(params_g, updates)
@@ -165,10 +232,27 @@ class TrainStepper:
 
         # ---------------------------------------------------- Dmain phase
         z, gen_c = sample_zc(k[4])
-        vars_g = {"params": params_g, **state.consts_g, "emas": state.emas_g}
-        (loss_d, (new_emas, m_d)), grads = jax.value_and_grad(
-            loss.dmain, has_aux=True
-        )(params_d, vars_g, z, gen_c, real_img, real_c, k[5], state.ada_p, cur_nimg)
+        if M == 1:
+            vars_g = {"params": params_g, **state.consts_g, "emas": state.emas_g}
+            (loss_d, (new_emas, m_d)), grads = jax.value_and_grad(
+                loss.dmain, has_aux=True
+            )(params_d, vars_g, z, gen_c, real_img, real_c, k[5], state.ada_p, cur_nimg)
+        else:
+            def dmain_chunk(p, emas_carry, zc, cc, ri, rc, key):
+                c_arg = cc if cfg.c_dim > 0 else None
+                vg = {"params": params_g, **state.consts_g, "emas": emas_carry}
+                (_, (new_e, m)), g = jax.value_and_grad(loss.dmain, has_aux=True)(
+                    p, vg, zc, c_arg, ri, rc, key, state.ada_p, cur_nimg
+                )
+                return g, new_e, m
+
+            cc = self._chunk(gen_c if gen_c is not None else jnp.zeros((local_b, 0)), M)
+            grads, new_emas, m_d = self._accum(
+                dmain_chunk, params_d,
+                (self._chunk(z, M), cc, self._chunk(real_img, M),
+                 self._chunk(real_c, M), jax.random.split(k[5], M)),
+                carry_init=state.emas_g,
+            )
         grads = _scrub(self._pmean(grads))
         updates, opt_d_state = self.opt_d.update(grads, opt_d_state, params_d)
         params_d = optax.apply_updates(params_d, updates)
@@ -183,11 +267,26 @@ class TrainStepper:
         if do_dr1:
             gain = float(cfg.d_reg_interval)
 
-            def dr1_scaled(p):
-                l, m = loss.dr1(p, real_img, real_c, k[6], state.ada_p, cur_nimg)
-                return l * gain, m
+            if M == 1:
+                def dr1_scaled(p):
+                    l, m = loss.dr1(p, real_img, real_c, k[6], state.ada_p, cur_nimg)
+                    return l * gain, m
 
-            (_, m_r1), grads = jax.value_and_grad(dr1_scaled, has_aux=True)(params_d)
+                (_, m_r1), grads = jax.value_and_grad(dr1_scaled, has_aux=True)(params_d)
+            else:
+                def dr1_chunk(p, carry, ri, rc, key):
+                    def scaled(pp):
+                        l, m = loss.dr1(pp, ri, rc, key, state.ada_p, cur_nimg)
+                        return l * gain, m
+
+                    (_, m), g = jax.value_and_grad(scaled, has_aux=True)(p)
+                    return g, carry, m
+
+                grads, _, m_r1 = self._accum(
+                    dr1_chunk, params_d,
+                    (self._chunk(real_img, M), self._chunk(real_c, M),
+                     jax.random.split(k[6], M)),
+                )
             grads = _scrub(self._pmean(grads))
             updates, opt_d_state = self.opt_d.update(grads, opt_d_state, params_d)
             params_d = optax.apply_updates(params_d, updates)
