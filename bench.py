@@ -61,33 +61,43 @@ def main():
     imgs = shard_batch(mesh, jnp.asarray(
         rng.standard_normal((batch, res, res, 1)), jnp.float32
     ))
+    zeros_c = jnp.zeros((batch, 0), jnp.float32)
 
-    # Warm up / compile all phase combinations that occur in steady state.
-    for _ in range(3):
-        state, _ = stepper(state, imgs)
-    jax.block_until_ready(state.params_g)
+    # Per-variant medians, combined by the lazy-reg cadence (per 16 steps:
+    # 12 plain, 3 +Greg, 1 +Greg+Dreg).  Median per step is robust to the
+    # environment's periodic multi-second runtime hiccups, which would
+    # dominate a naive wall-clock window.
+    def median_step_ms(do_gpl, do_dr1, n=9):
+        nonlocal state
+        fn = stepper.get(do_gpl, do_dr1)
+        state, _ = fn(state, imgs, zeros_c)  # compile + first exec
+        jax.block_until_ready(state.params_g)
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            state, _ = fn(state, imgs, zeros_c)
+            jax.block_until_ready(state.params_g)
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times) * 1000)
 
-    # Steady-state measurement over a representative 16-step window
-    # (contains 4 Greg and 1 Dreg step, like real training cadence).
-    # Align to a 16-step boundary first.
-    while int(state.step) % 16 != 0:
-        state, _ = stepper(state, imgs)
-    jax.block_until_ready(state.params_g)
+    t_ff = median_step_ms(False, False)
+    t_tf = median_step_ms(True, False)
+    t_tt = median_step_ms(True, True)
+    mean_step_ms = (12 * t_ff + 3 * t_tf + 1 * t_tt) / 16
 
-    n_steps = 32
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, _ = stepper(state, imgs)
-    jax.block_until_ready(state.params_g)
-    dt = time.perf_counter() - t0
-
-    imgs_per_sec = n_steps * batch / dt
+    imgs_per_sec = batch / (mean_step_ms / 1000)
     baseline = 45.8  # imgs/sec/GPU, V100, reference configs.md:182
     print(json.dumps({
         "metric": "imgs_per_sec_per_chip_sg2_256",
         "value": round(imgs_per_sec, 2),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec / baseline, 3),
+        "detail": {
+            "step_ms_plain": round(t_ff, 1),
+            "step_ms_greg": round(t_tf, 1),
+            "step_ms_greg_dreg": round(t_tt, 1),
+            "sec_per_kimg": round(mean_step_ms / batch, 2),
+        },
     }))
 
 

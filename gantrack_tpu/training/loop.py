@@ -90,17 +90,23 @@ def training_loop(
     maintenance_time = 0.0
     done = False
 
+    cur_nimg = int(state.cur_nimg)  # host mirror; the loop never syncs per step
+    pending_moments = []
     while not done:
         # ------------------------------------------------ hot loop body
         images, labels = next(loader)
         batch = shard_batch(mesh, (images, labels))
         state, moments = stepper(state, batch[0], batch[1])
-        collector.update(jax.device_get(moments))
+        pending_moments.append(moments)  # device arrays; fetched at tick time
 
-        cur_nimg = int(state.cur_nimg)
+        cur_nimg += batch_size
         done = cur_nimg >= total_kimg * 1000
         if (not done) and (cur_tick != 0) and (cur_nimg < tick_start_nimg + kimg_per_tick * 1000):
             continue
+
+        for m in jax.device_get(pending_moments):
+            collector.update(m)
+        pending_moments.clear()
 
         # ------------------------------------------------- tick report
         tick_end_time = time.time()

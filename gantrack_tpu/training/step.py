@@ -357,8 +357,15 @@ class TrainStepper:
 
     def __call__(self, state: GANTrainState, real_img, real_c=None):
         """Run one global batch; phase selection by batch index (host-side,
-        reference ``training_loop:333-334``)."""
-        step = int(state.step)
+        reference ``training_loop:333-334``).
+
+        The batch index is mirrored on host after the first call so the
+        hot loop never blocks on the device counter.
+        """
+        if getattr(self, "_host_step", None) is None:
+            self._host_step = int(state.step)  # one sync at start/resume
+        step = self._host_step
+        self._host_step += 1
         do_gpl = (
             self.cfg.g_reg_interval is not None
             and self.loss.cfg.pl_weight != 0
