@@ -51,17 +51,43 @@ class Detector:
         return np.asarray(self._fn(jnp.asarray(images_uint8_range, jnp.float32)))
 
 
+def make_random_projection_detector(seed: int = 0, dim: int = 512,
+                                    scales=(32, 16, 8)) -> Detector:
+    """Offline fallback detector: multi-scale random-projection features.
+
+    A randomly *initialised* InceptionV3 collapses inputs through its ReLU
+    cascade (FID saturates near 0 regardless of the data), so the no-weights
+    fallback instead projects multi-scale downsampled pixels through fixed
+    Gaussian matrices — distances between image distributions survive, so
+    relative FID/KID comparisons remain meaningful.  Absolute values are
+    NOT comparable to published Inception-FID (see README).
+    """
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(scales))
+    per = dim // len(scales)
+    mats = [
+        jax.random.normal(k, (s * s * 3, per)) / np.sqrt(s * s * 3)
+        for k, s in zip(keys, scales)
+    ]
+
+    def apply_fn(params, imgs):
+        feats = []
+        for mat, s in zip(params, scales):
+            x = jax.image.resize(imgs, (imgs.shape[0], s, s, 3), "bilinear")
+            x = x.reshape(x.shape[0], -1) / 127.5 - 1.0
+            feats.append(x @ mat)
+        return jnp.concatenate(feats, axis=1)
+
+    return Detector(apply_fn, mats, name=f"randproj-{dim}-seed{seed}")
+
+
 def make_inception_detector(weights_path: Optional[str] = None, seed: int = 0) -> Detector:
     from ..models import inception
 
-    model = inception.InceptionV3Features()
     if weights_path and os.path.exists(weights_path):
+        model = inception.InceptionV3Features()
         params = inception.load_npz(weights_path)
-        name = f"inception:{os.path.basename(weights_path)}"
-    else:
-        params = inception.random_params(jax.random.PRNGKey(seed))
-        name = f"inception:random-seed{seed}"
-    return Detector(model.apply, params, name)
+        return Detector(model.apply, params, f"inception:{os.path.basename(weights_path)}")
+    return make_random_projection_detector(seed=seed)
 
 
 def make_vgg_detector(weights_path: Optional[str] = None, seed: int = 0) -> Detector:

@@ -135,6 +135,34 @@ def test_calc_metric_timing_record():
     assert rd["total_time"] > 0
 
 
+def test_random_projection_fallback_discriminates():
+    """The offline fallback detector must separate distinct distributions
+    (a random-init CNN would collapse and report FID≈0 for everything)."""
+    import scipy.linalg
+
+    from gantrack_tpu.metrics.metric_utils import make_random_projection_detector
+
+    det = make_random_projection_detector(dim=96, scales=(16, 8))
+    rng = np.random.default_rng(0)
+    a = (rng.random((256, 32, 32, 3)) * 255).astype(np.float32)
+    b = (rng.random((256, 32, 32, 3)) * 255).astype(np.float32)
+    c = np.clip(a * 0.5 + 80, 0, 255)  # shifted/contracted distribution
+
+    def mean_cov(x):
+        f = det(x).astype(np.float64)
+        return f.mean(0), np.cov(f.T, bias=True)
+
+    def fid(x, y):
+        mu1, s1 = mean_cov(x)
+        mu2, s2 = mean_cov(y)
+        s, _ = scipy.linalg.sqrtm(s1 @ s2, disp=False)
+        return float(np.real(np.sum((mu1 - mu2) ** 2) + np.trace(s1 + s2 - 2 * s)))
+
+    near = fid(a, b)  # sampling noise floor (256 samples, 96-d cov)
+    far = fid(a, c)
+    assert far > 3 * max(near, 1e-9)
+
+
 def test_ppl_runs():
     from gantrack_tpu.metrics.ppl import compute_ppl
 
