@@ -64,20 +64,26 @@ def main():
     zeros_c = jnp.zeros((batch, 0), jnp.float32)
 
     # Per-variant medians, combined by the lazy-reg cadence (per 16 steps:
-    # 12 plain, 3 +Greg, 1 +Greg+Dreg).  Median per step is robust to the
-    # environment's periodic multi-second runtime hiccups, which would
-    # dominate a naive wall-clock window.
-    def median_step_ms(do_gpl, do_dr1, n=9):
+    # 12 plain, 3 +Greg, 1 +Greg+Dreg).  Median-of-windows is robust to the
+    # environment's periodic multi-second runtime hiccups.  NOTE: on this
+    # platform ``block_until_ready`` does not synchronise; a concrete value
+    # fetch of the last output drains the in-order execution queue, so each
+    # window is timed dispatch→fetch.
+    def _drain(s):
+        np.asarray(s.pl_mean)  # device->host fetch of a scalar
+
+    def median_step_ms(do_gpl, do_dr1, windows=5, steps_per_window=4):
         nonlocal state
         fn = stepper.get(do_gpl, do_dr1)
         state, _ = fn(state, imgs, zeros_c)  # compile + first exec
-        jax.block_until_ready(state.params_g)
+        _drain(state)
         times = []
-        for _ in range(n):
+        for _ in range(windows):
             t0 = time.perf_counter()
-            state, _ = fn(state, imgs, zeros_c)
-            jax.block_until_ready(state.params_g)
-            times.append(time.perf_counter() - t0)
+            for _ in range(steps_per_window):
+                state, _ = fn(state, imgs, zeros_c)
+            _drain(state)
+            times.append((time.perf_counter() - t0) / steps_per_window)
         return float(np.median(times) * 1000)
 
     t_ff = median_step_ms(False, False)
