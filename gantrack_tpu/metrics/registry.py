@@ -126,3 +126,47 @@ def is50k(opts: MetricOptions) -> dict:
 
     mean, std = compute_is(opts, num_gen=50000, num_splits=10)
     return {"is50k_mean": mean, "is50k_std": std}
+
+
+@register_metric
+def ppl2_wend(opts: MetricOptions) -> dict:
+    from .ppl import compute_ppl
+
+    value = compute_ppl(opts, num_samples=50000, epsilon=1e-4, space="w", sampling="end")
+    return {"ppl2_wend": value}
+
+
+# StyleGAN3-only equivariance metrics; require a transform-capable
+# generator on opts (``opts.generator_with_transform``), see
+# tools/calc_metrics.
+@register_metric
+def eqt50k_int(opts: MetricOptions) -> dict:
+    from .equivariance import compute_equivariance_metrics
+
+    r = compute_equivariance_metrics(
+        opts, num_samples=50000, compute_eqt_int=True,
+        compute_eqt_frac=False, compute_eqr=False,
+    )
+    return {"eqt50k_int": r["eqt_int"]}
+
+
+@register_metric
+def eqt50k_frac(opts: MetricOptions) -> dict:
+    from .equivariance import compute_equivariance_metrics
+
+    r = compute_equivariance_metrics(
+        opts, num_samples=50000, compute_eqt_int=False,
+        compute_eqt_frac=True, compute_eqr=False,
+    )
+    return {"eqt50k_frac": r["eqt_frac"]}
+
+
+@register_metric
+def eqr50k(opts: MetricOptions) -> dict:
+    from .equivariance import compute_equivariance_metrics
+
+    r = compute_equivariance_metrics(
+        opts, num_samples=50000, compute_eqt_int=False,
+        compute_eqt_frac=False, compute_eqr=True,
+    )
+    return {"eqr50k": r["eqr"]}

@@ -73,6 +73,23 @@ def main(checkpoint, metrics, data, split, modalities, mirror, detector_weights,
     def gen(z, c):
         return g.apply(vars_g, z, c, noise_mode="const")
 
+    def gen_with_transform(z, c, transform_3x3):
+        """SG3 equivariance hook: inject the user transform into the
+        synthesis input (reference gen_images.py:122-126 mechanism)."""
+        import numpy as np_
+
+        v = jax.tree.map(lambda a: a, vars_g)
+        consts = dict(v.get("consts", {}))
+        syn = dict(consts.get("synthesis", {}))
+        inp = dict(syn.get("input", {}))
+        if not inp:
+            raise RuntimeError("equivariance metrics require a StyleGAN3 generator")
+        inp["transform"] = jnp.asarray(np_.linalg.inv(transform_3x3), jnp.float32)
+        syn["input"] = inp
+        consts["synthesis"] = syn
+        v["consts"] = consts
+        return g.apply(v, z, c)
+
     detector = make_inception_detector(detector_weights)
     modes = (
         [(None, None)] if dataset.num_channels != 2
@@ -84,6 +101,7 @@ def main(checkpoint, metrics, data, split, modalities, mirror, detector_weights,
             z_dim=g.z_dim, c_dim=0, dataset=dataset, detector=detector,
             mode_idx=mode_idx, batch_size=batch, cache_dir=cache_dir,
         )
+        opts.generator_with_transform = gen_with_transform
         for m in metric_list:
             rd = calc_metric(m, opts, mode_name=mode_name)
             report_metric(rd, run_dir=run_dir, snapshot_path=path)

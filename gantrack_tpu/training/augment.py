@@ -295,6 +295,25 @@ def _np_rotate2d(theta):
     return m
 
 
+def _reflect_pad(x: jax.Array, t: int, b: int, l: int, r: int) -> jax.Array:
+    """NHWC reflect padding via flipped-slice concats (TPU-friendly;
+    identical to ``jnp.pad(mode='reflect')``)."""
+    parts = []
+    if t > 0:
+        parts.append(jnp.flip(x[:, 1 : t + 1], axis=1))
+    parts.append(x)
+    if b > 0:
+        parts.append(jnp.flip(x[:, -b - 1 : -1], axis=1))
+    x = jnp.concatenate(parts, axis=1) if len(parts) > 1 else x
+    parts = []
+    if l > 0:
+        parts.append(jnp.flip(x[:, :, 1 : l + 1], axis=2))
+    parts.append(x)
+    if r > 0:
+        parts.append(jnp.flip(x[:, :, -r - 1 : -1], axis=2))
+    return jnp.concatenate(parts, axis=2) if len(parts) > 1 else x
+
+
 # -------------------------------------------------------------- pipeline
 
 def compute_warp_window(cfg: AugmentConfig, height: int, width: int,
@@ -430,7 +449,9 @@ class AugmentPipe:
             hz_pad = self.hz_geom.shape[0] // 4
             mx0, mx1, my0, my1 = self.margin
             # Static reflect pad (see module docstring) + origin shift.
-            images = jnp.pad(images, ((0, 0), (my0, my1), (mx0, mx1), (0, 0)), mode="reflect")
+            # Implemented as flipped-slice concats: jnp.pad(mode='reflect')
+            # lowers through gathers on TPU.
+            images = _reflect_pad(images, my0, my1, mx0, mx1)
             G_inv = translate2d((mx0 - mx1) / 2, (my0 - my1) / 2) @ G_inv
 
             # Upsample 2x and adjust transform to the finer grid.
