@@ -38,7 +38,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TR = 8     # output rows per tile (sublane)
+TR = 16    # output rows per tile (sublane)
 TC = 128   # output cols per tile (lane)
 
 

@@ -194,6 +194,10 @@ def train(c, opts, run_dir, dataset_kwargs):
     dataset = open_dataset(opts.data, **dataset_kwargs)
     res = dataset.resolution
     channels = dataset.num_channels
+    if opts.cond and not dataset.has_labels:
+        raise click.ClickException(
+            "--cond=True requires labels specified in dataset.json"
+        )
     c_dim = dataset.label_dim if opts.cond else 0
     print(f"Dataset: {dataset.name}  {len(dataset)} items  {res}x{res}x{channels}  labels={c_dim}")
 

@@ -128,20 +128,23 @@ class StyleGAN2Loss:
             new_emas = jax.lax.stop_gradient(new_emas)
         return img, ws, new_emas
 
+    def _blur(self, img, blur_sigma):
+        """Shape-static discriminator blur ramp: worst-case taps, gaussian
+        weights masked by the fading sigma (σ→0 degenerates to identity)."""
+        blur_size = int(np.floor(self.cfg.blur_init_sigma * 3))
+        t = jnp.arange(-blur_size, blur_size + 1, dtype=jnp.float32)
+        sig = jnp.maximum(blur_sigma, 1e-8)
+        f = jnp.exp2(-jnp.square(t / sig))
+        f = jnp.where(jnp.abs(t) <= jnp.floor(blur_sigma * 3), f, 0.0)
+        f = jnp.where(blur_sigma > 0, f / jnp.sum(f), (t == 0).astype(jnp.float32))
+        return filter2d(img, f, flip_filter=False)
+
     def run_D(
         self, vars_d, img, c, rng, blur_sigma: Optional[jax.Array] = None, ada_p=None
     ) -> jax.Array:
         """blur ramp → ADA augment → D (reference ``loss.py:53-62``)."""
         if self.cfg.blur_init_sigma > 0 and blur_sigma is not None:
-            # Shape-static blur: worst-case taps, gaussian weights masked by
-            # the fading sigma (σ→0 degenerates to identity).
-            blur_size = int(np.floor(self.cfg.blur_init_sigma * 3))
-            t = jnp.arange(-blur_size, blur_size + 1, dtype=jnp.float32)
-            sig = jnp.maximum(blur_sigma, 1e-8)
-            f = jnp.exp2(-jnp.square(t / sig))
-            f = jnp.where(jnp.abs(t) <= jnp.floor(blur_sigma * 3), f, 0.0)
-            f = jnp.where(blur_sigma > 0, f / jnp.sum(f), (t == 0).astype(jnp.float32))
-            img = filter2d(img, f, flip_filter=False)
+            img = self._blur(img, blur_sigma)
         if self.augment_fn is not None:
             k_aug, rng = jax.random.split(rng)
             img = self.augment_fn(img, ada_p, k_aug)
@@ -225,16 +228,28 @@ class StyleGAN2Loss:
         semantics): w_avg and (SG3) magnitude EMAs update here.
         Returns (loss, (new_emas_g, moments)).
         """
-        k_g, k_df, k_dr = jax.random.split(rng, 3)
+        k_g, k_d = jax.random.split(rng, 2)
         vars_d = {"params": params_d}
         bs = self.blur_sigma(cur_nimg)
 
         gen_img, _ws, new_emas = self.run_G(vars_g, z, c, k_g, update_emas=True)
         gen_img = jax.lax.stop_gradient(gen_img)
-        gen_logits = self.run_D(vars_d, gen_img, c, k_df, bs, ada_p)
-        loss_dgen = jax.nn.softplus(gen_logits)
 
-        real_logits = self.run_D(vars_d, real_img, real_c, k_dr, bs, ada_p)
+        # One blur+augment invocation over the concatenated fake∥real batch
+        # (augmentations are per-sample independent, so this is equivalent
+        # to the reference's two separate passes up to the RNG stream), then
+        # split *before* D so minibatch-std groups stay fake-only/real-only
+        # like the reference's separate D calls.
+        both = jnp.concatenate([gen_img, real_img.astype(gen_img.dtype)], axis=0)
+        if self.cfg.blur_init_sigma > 0 and bs is not None:
+            both = self._blur(both, bs)
+        if self.augment_fn is not None:
+            k_aug, k_d = jax.random.split(k_d)
+            both = self.augment_fn(both, ada_p, k_aug)
+        n = gen_img.shape[0]
+        gen_logits = self.D.apply(vars_d, both[:n], c)
+        real_logits = self.D.apply(vars_d, both[n:], real_c)
+        loss_dgen = jax.nn.softplus(gen_logits)
         loss_dreal = jax.nn.softplus(-real_logits)
 
         m: stats.Moments = {}
