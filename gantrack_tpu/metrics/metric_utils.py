@@ -28,6 +28,10 @@ class MetricOptions:
 
     generator: Optional[Callable[[jax.Array, Optional[jax.Array]], jax.Array]] = None
     #   generator(z, c) -> images in [-1, 1], NHWC (jit-compatible)
+    mapping: Optional[Callable[[jax.Array, Optional[jax.Array]], jax.Array]] = None
+    #   mapping(z, c) -> ws [N, num_ws, w_dim]  (needed by w-space PPL)
+    synthesis: Optional[Callable[[jax.Array], jax.Array]] = None
+    #   synthesis(ws) -> images in [-1, 1], NHWC  (needed by w-space PPL)
     z_dim: int = 512
     c_dim: int = 0
     dataset: Optional[GANDataset] = None

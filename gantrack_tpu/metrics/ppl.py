@@ -55,19 +55,26 @@ def compute_ppl(
             img0 = opts.generator(zt0, None)
             img1 = opts.generator(zt1, None)
         else:
-            # lerp in w via the generator's ws interface; the MetricOptions
-            # generator for PPL must accept ws directly when space='w'
-            # (supply a ws-capable generator); fall back to z-space here.
-            zt0 = slerp(z0, z1, t)
-            zt1 = slerp(z0, z1, t + epsilon)
-            img0 = opts.generator(zt0, None)
-            img1 = opts.generator(zt1, None)
+            # lerp in w through synthesis only (reference PPLSampler:54-57:
+            # w0/w1 = mapping(z0/z1); wt = lerp(w0, w1, t | t+eps)).
+            if opts.mapping is None or opts.synthesis is None:
+                raise ValueError(
+                    "space='w' PPL requires MetricOptions.mapping and "
+                    ".synthesis (ws-capable generator); refusing to fall "
+                    "back to z-space silently"
+                )
+            w0 = opts.mapping(z0, None)
+            w1 = opts.mapping(z1, None)
+            tt = t[:, :, None] if w0.ndim == 3 else t
+            img0 = opts.synthesis(w0 + (w1 - w0) * tt)
+            img1 = opts.synthesis(w0 + (w1 - w0) * (tt + epsilon))
 
         def prep(img):
             img = np.asarray(img, np.float32)
             if crop:
-                h = img.shape[1]
-                img = img[:, h // 8 * 2 : h // 8 * 6, h // 8 * 2 : h // 8 * 6]
+                # Reference crop (PPLSampler:73-75): rows 3c..7c, cols 2c..6c.
+                cc = img.shape[1] // 8
+                img = img[:, cc * 3 : cc * 7, cc * 2 : cc * 6]
             img = np.clip(img * 127.5 + 128, 0, 255)
             return to_detector_input(img, opts.mode_idx)
 

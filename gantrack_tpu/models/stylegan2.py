@@ -558,7 +558,9 @@ def minibatch_stddev(x: jax.Array, group_size: Optional[int], num_channels: int 
     y = jnp.mean(jnp.square(y), axis=0)
     y = jnp.sqrt(y + 1e-8)
     y = jnp.mean(y, axis=(1, 2, 4))  # [n//g, F]
-    y = jnp.repeat(y, g, axis=0)[:, None, None, :]  # [N,1,1,F]
+    # Sample s belongs to stat group s % (n//g) (strided split, matching the
+    # reference's reshape(G, -1, ...) + y.repeat(G, ...) tiling).
+    y = jnp.tile(y, (g, 1))[:, None, None, :]  # [N,1,1,F]
     y = jnp.broadcast_to(y, (n, h, w, f)).astype(x.dtype)
     return jnp.concatenate([x, y], axis=-1)
 

@@ -219,6 +219,15 @@ def train(c, opts, run_dir, dataset_kwargs):
     d_reg_interval = 16
     opt_g = lazy_reg_adam(c.glr, reg_interval=g_reg_interval)
     opt_d = lazy_reg_adam(c.dlr, reg_interval=d_reg_interval)
+    if opts.freezed > 0:
+        # Freeze the first N D layers (top resolution inward), reference
+        # ``networks_stylegan2.py:583-590`` freeze_layers semantics.
+        opt_d = optax.masked(
+            opt_d,
+            lambda params: discriminator_freeze_mask(
+                params, opts.freezed, d.block_resolutions, architecture="resnet"
+            ),
+        )
 
     mesh = create_mesh(opts.num_devices)
     print(f"Mesh: {mesh.devices.size} devices")
@@ -298,6 +307,19 @@ def train(c, opts, run_dir, dataset_kwargs):
         def gen(z, cl):
             return g.apply(state.vars_g_ema, z, cl if c_dim > 0 else None, noise_mode="const")
 
+        @jax.jit
+        def map_fn(z, cl):
+            return g.apply(
+                state.vars_g_ema, z, cl if c_dim > 0 else None,
+                method=lambda m, z_, c_: m.mapping(z_, c_),
+            )
+
+        @jax.jit
+        def syn_fn(ws):
+            return g.apply(
+                state.vars_g_ema, ws, noise_mode="const", method="map_then_synthesize"
+            )
+
         results = {}
         modes = (
             [(None, None)] if channels != 2
@@ -306,6 +328,8 @@ def train(c, opts, run_dir, dataset_kwargs):
         for mode_name, mode_idx in modes:
             mopts = MetricOptions(
                 generator=lambda z, cl: gen(z, cl),
+                mapping=lambda z, cl: map_fn(z, cl),
+                synthesis=lambda ws: syn_fn(ws),
                 z_dim=c.G.z_dim, c_dim=c_dim, dataset=dataset, detector=detector,
                 mode_idx=mode_idx, batch_size=64,
                 cache_dir=os.path.join(run_dir, "metric-cache") if opts.metrics_cache else None,

@@ -362,8 +362,14 @@ class TrainStepper:
         The batch index is mirrored on host after the first call so the
         hot loop never blocks on the device counter.
         """
-        if getattr(self, "_host_step", None) is None:
-            self._host_step = int(state.step)  # one sync at start/resume
+        if (
+            getattr(self, "_host_step", None) is None
+            or getattr(self, "_last_state_id", None) != id(state)
+        ):
+            # One device sync at start/resume — and whenever the caller swaps
+            # in a state we didn't produce (e.g. a restored checkpoint), so
+            # phase scheduling can't silently desynchronise from state.step.
+            self._host_step = int(state.step)
         step = self._host_step
         self._host_step += 1
         do_gpl = (
@@ -378,4 +384,6 @@ class TrainStepper:
         )
         if real_c is None:
             real_c = jnp.zeros((real_img.shape[0], 0), jnp.float32)
-        return self.get(do_gpl, do_dr1)(state, real_img, real_c)
+        out = self.get(do_gpl, do_dr1)(state, real_img, real_c)
+        self._last_state_id = id(out[0])
+        return out

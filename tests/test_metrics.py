@@ -163,8 +163,36 @@ def test_random_projection_fallback_discriminates():
     assert far > 3 * max(near, 1e-9)
 
 
-def test_ppl_runs():
+def test_ppl_z_space_runs():
     from gantrack_tpu.metrics.ppl import compute_ppl
 
-    v = compute_ppl(_opts(), num_samples=32, batch_size=16)
+    v = compute_ppl(_opts(), num_samples=32, batch_size=16, space="z")
     assert np.isfinite(v)
+
+
+def test_ppl_w_space_lerps_through_synthesis():
+    """space='w' maps z through mapping, lerps ws, and synthesizes —
+    it must NOT silently fall back to z-space (round-1 ADVICE finding)."""
+    from gantrack_tpu.metrics.ppl import compute_ppl
+
+    opts = _opts()
+    with pytest.raises(ValueError):
+        compute_ppl(opts, num_samples=16, batch_size=16, space="w")
+
+    calls = {"map": 0, "syn": 0}
+
+    def mapping(z, c):
+        calls["map"] += 1
+        return jnp.repeat(z[:, None, :], 4, axis=1)  # [N, num_ws, w]
+
+    def synthesis(ws):
+        calls["syn"] += 1
+        w = ws[:, 0]
+        key = jax.random.PRNGKey(int(jnp.sum(jnp.abs(w) * 100)) % (2**31))
+        return jax.random.uniform(key, (ws.shape[0], 16, 16, 1)) * 2 - 1
+
+    opts.mapping = mapping
+    opts.synthesis = synthesis
+    v = compute_ppl(opts, num_samples=32, batch_size=16, space="w")
+    assert np.isfinite(v)
+    assert calls["map"] >= 2 and calls["syn"] >= 2

@@ -81,10 +81,33 @@ def test_minibatch_stddev_matches_reference_formula():
     x = jnp.asarray(rng.standard_normal((8, 4, 4, 6)).astype(np.float32))
     y = minibatch_stddev(x, group_size=4, num_channels=1)
     assert y.shape == (8, 4, 4, 7)
-    # stddev channel is constant per group and spatially uniform
+    # Reference semantics (networks_stylegan2.py:656-663): reshape(G, n, ...)
+    # makes STRIDED groups — sample s shares its stat with samples s % n
+    # apart (n = N/G = 2 here) — and y.repeat(G, ...) tiles them back.
     block = np.asarray(y[..., -1])
-    assert np.allclose(block[0], block[3])
-    assert not np.allclose(block[0], block[4])
+    assert np.allclose(block[0], block[2]) and np.allclose(block[0], block[6])
+    assert np.allclose(block[1], block[3])
+    assert not np.allclose(block[0], block[1])
+
+
+@requires_reference
+def test_minibatch_stddev_parity_vs_reference_batch8_group4():
+    """Batch > group_size parity vs the reference layer (multi-group case —
+    the round-1 bug hid here because batch == group covered one group only)."""
+    import torch
+
+    networks = import_reference_module("training.networks_stylegan2")
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((8, 6, 4, 4)).astype(np.float32)  # NCHW for torch
+    layer = networks.MinibatchStdLayer(group_size=4, num_channels=2)
+    with torch.no_grad():
+        ref = layer(torch.from_numpy(x)).numpy()
+    ours = minibatch_stddev(
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))), group_size=4, num_channels=2
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(ours), (0, 3, 1, 2)), ref, rtol=1e-5, atol=1e-5
+    )
 
 
 @requires_reference
