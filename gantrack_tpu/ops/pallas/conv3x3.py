@@ -1,31 +1,42 @@
 """Pallas TPU kernel: implicit-GEMM 3×3 stride-1 convolution (NHWC).
 
 The SG2/SG3 hot path is dominated by dense 3×3 stride-1 convolutions
-(G ``conv1`` of every block, D ``conv0``, and all their autodiff
+(G ``conv1`` of every block, D ``conv0``, and their autodiff
 transposes).  XLA lowers them to spatial conv fusions that run the
 256²×64-channel family at ~6-13% of MXU peak on v5e — the 64-wide
 channel dimension under-fills the 128-lane MXU and the compiler's conv
 tiling cannot recover it (measured in round 1: space-to-depth and
 XLA-level im2col are both slower; docs/ROADMAP.md).
 
-This kernel reformulates the conv as an explicit GEMM **in VMEM**:
+Design (constraints measured on this Mosaic build, scripts/probe_mosaic.py:
+async-DMA slices need sublane extents ×8 and lane extents ×128, while
+*value* slicing/concat after an aligned load is unrestricted):
 
-* grid ``(N, H/TH)``; each step DMAs one ``[TH+2, W+2, C]`` halo row
-  window of the (pre-padded) input from HBM, double-buffered so the
-  copy of block ``i+1`` overlaps the GEMM of block ``i``;
-* the 9 shifted taps are concatenated lane-wise into an im2col patch
-  matrix ``[TH·W, 9·Ci]`` that never exists in HBM (the round-1 XLA
-  im2col failure mode was exactly its HBM materialisation);
-* one MXU GEMM ``[TH·W, 9·Ci] × [9·Ci, Co]`` per step with float32
-  accumulation.  K = 9·Ci amortises the 128-deep MXU passes; M is huge;
-  N = Co is the only under-filled axis (50% at Co=64, 100% at ≥128).
+* **Width-fold.** For C=64 the NHWC array is reinterpreted as
+  ``[N, H, W/2, 128]`` — a *free* reshape, since adjacent width
+  positions are adjacent in memory.  A 3×3 conv on the original image
+  is exactly a 3×3 conv on the folded image with a block-banded weight
+  matrix ``W'[3, 3, 2C, 2Co]`` (``_fold_weights``): folded tap ``dX``
+  maps original tap ``k = f·dX + p − q − f + 1`` for input half ``p``
+  and output half ``q``.  Lanes are now 128-aligned and the MXU GEMM
+  runs full width.  C that is already a multiple of 128 skips the fold.
+* grid ``(N, H/TH)``; each step DMAs one aligned ``[TH+2, WFP, CC]``
+  halo row window from HBM, double-buffered so the copy of block
+  ``i+1`` overlaps the GEMM of block ``i``;
+* the 9 shifted taps are *value*-sliced from the loaded window and
+  concatenated lane-wise into an im2col patch matrix ``[TH·WF, 9·CC]``
+  that never exists in HBM (the round-1 XLA im2col failure mode was
+  exactly its HBM materialisation);
+* one MXU GEMM ``[TH·WF, 9·CC] × [9·CC, CCo]`` per step with float32
+  accumulation.
 
 Gradients close under the family: ``dx`` is this same kernel applied to
 the cotangent with the spatially-flipped, ci↔co-transposed weights, and
-``dw`` is an accumulating patchesᵀ·g kernel (``wgrad3x3``).  Both carry
-their own ``custom_vjp`` whose rules reference each other, so the R1 /
-path-length double-backward (grad-of-grad through D and G convs)
-resolves entirely within these kernels at arbitrary order.
+``dw`` is an accumulating patchesᵀ·g kernel (``wgrad3x3``, dy-split grid
+to bound its VMEM accumulator; the folded weight grad is pulled back to
+``[3,3,C,Co]`` with ``jax.linear_transpose`` of the fold).  Both carry
+JVP + transpose rules referencing each other, so the R1 / path-length
+double-backward resolves entirely within these kernels.
 
 Replaces the CUDA-side efficiency role of the reference's plugin convs
 (``torch_utils/ops/conv2d_gradfix.py``, ``conv2d_resample.py:46-141``);
@@ -36,22 +47,50 @@ flip), verified against XLA in ``tests/test_conv3x3.py``.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["conv3x3", "wgrad3x3", "supported"]
 
+_VMEM_BUDGET = 10 * 1024 * 1024
 
-def _pick_th(h: int) -> int:
-    for th in (16, 8, 4):
-        if h % th == 0:
-            return th
+
+def _fold_factor(ci: int) -> int:
+    if ci % 128 == 0:
+        return 1
+    if ci == 64:
+        return 2
     return 0
+
+
+def _geometry(x_shape, co, dtype):
+    """(f, th, wf, wfp, cc, cco) or None if unsupported."""
+    n, h, w, ci = x_shape
+    f = _fold_factor(ci)
+    if f == 0 or w % f != 0:
+        return None
+    cc, cco = f * ci, f * co
+    wf = w // f
+    if wf % 8 != 0 or wf < 8 or cco % 64 != 0 or cc > 1024 or cco > 1024:
+        return None
+    wfp = ((wf + 2 + 7) // 8) * 8
+    esize = jnp.dtype(dtype).itemsize
+    for th in (16, 8, 4):
+        if h % th != 0:
+            continue
+        m = th * wf
+        vmem = (
+            2 * (th + 2) * wfp * cc * esize      # double-buffered window
+            + 3 * (th + 2) * wf * cc * esize     # dx-shifted window values
+            + 9 * cc * cco * esize               # weights
+            + m * cco * (4 + esize)              # f32 acc + out block
+        )
+        if vmem <= _VMEM_BUDGET:
+            return (f, th, wf, wfp, cc, cco)
+    return None
 
 
 def supported(x_shape, w_shape, dtype) -> bool:
@@ -62,19 +101,54 @@ def supported(x_shape, w_shape, dtype) -> bool:
         return False
     if dtype not in (jnp.bfloat16, jnp.float32):
         return False
-    if h != w or _pick_th(h) == 0 or h < 8:
+    if h < 4 or w < 8:
         return False
-    # Lane-aligned channels; wider shapes fall back to XLA.
-    if ci % 64 != 0 or co % 64 != 0 or ci > 1024 or co > 1024:
-        return False
-    return True
+    return _geometry(x_shape, co, dtype) is not None
+
+
+# ----------------------------------------------------------- fold helpers
+
+
+def _fold_weights(w: jax.Array, f: int) -> jax.Array:
+    """[3,3,C,Co] → flattened folded [9·fC, fCo] (dy-major, dX-minor rows)."""
+    kh, kw, c, co = w.shape
+    if f == 1:
+        return w.reshape(9 * c, co)
+    w2 = jnp.zeros((3, 3, f, c, f, co), w.dtype)
+    for dx in range(3):
+        for p in range(f):
+            for q in range(f):
+                k = f * dx + p - q - f + 1
+                if 0 <= k <= 2:
+                    w2 = w2.at[:, dx, p, :, q, :].set(w[:, k])
+    return w2.reshape(9 * f * c, f * co)
+
+
+def _fold_x(x: jax.Array, f: int, wfp: int) -> jax.Array:
+    """Pad (1,1) rows / (f, f + align) cols, fold width → [N, H+2, WFP, fC]."""
+    n, h, w, c = x.shape
+    wf = w // f
+    right = f + f * (wfp - (wf + 2))
+    xp = jnp.pad(x, ((0, 0), (1, 1), (f, right), (0, 0)))
+    return xp.reshape(n, h + 2, wfp, f * c)
+
+
+def _fold_g(g: jax.Array, f: int) -> jax.Array:
+    n, h, w, co = g.shape
+    return g.reshape(n, h, w // f, f * co)
 
 
 # ---------------------------------------------------------------- kernels
 
 
-def _fwd_kernel(x_hbm, w_ref, out_ref, xwin, sems, *, th, w, ci, co):
-    """One [TH, W, Co] output row-block per grid step, double-buffered."""
+def _fwd_kernel(x_hbm, w_ref, out_ref, xwin, sems, *, th, wf, cc, cco):
+    """One [TH, WF, CCo] output row-block per grid step, double-buffered.
+
+    The 9 taps are consumed as 9 accumulated K=CC GEMMs instead of one
+    concatenated im2col GEMM: the dy slices are leading-dim register
+    slices (free) and only the 3 dx shifts pay a sublane relayout, so
+    the VPU does ~3 window copies per step instead of ~18.
+    """
     n = pl.program_id(0)
     i = pl.program_id(1)
     n_i = pl.num_programs(1)
@@ -98,27 +172,36 @@ def _fwd_kernel(x_hbm, w_ref, out_ref, xwin, sems, *, th, w, ci, co):
         dma((linear + 1) % 2, linear + 1).start()
 
     dma(linear % 2, linear).wait()
-    win = xwin[linear % 2]  # [TH+2, W+2, Ci]
+    v = xwin[linear % 2]  # value [TH+2, WFP, CC]
 
-    pieces = []
-    for dy in range(3):
-        for dx in range(3):
-            pieces.append(win[dy : dy + th, dx : dx + w, :].reshape(th * w, ci))
-    lhs = jnp.concatenate(pieces, axis=1)  # [TH*W, 9*Ci]
-    acc = jnp.dot(lhs, w_ref[:], preferred_element_type=jnp.float32)
-    out_ref[0] = acc.reshape(th, w, co).astype(out_ref.dtype)
+    acc = jnp.zeros((th * wf, cco), jnp.float32)
+    for dx in range(3):
+        sh = v[:, dx : dx + wf, :]  # one sublane relayout per dx
+        for dy in range(3):
+            piece = sh[dy : dy + th].reshape(th * wf, cc)  # free row slice
+            acc += jnp.dot(piece, w_ref[3 * dy + dx],
+                           preferred_element_type=jnp.float32)
+    out_ref[0] = acc.reshape(th, wf, cco).astype(out_ref.dtype)
 
 
-def _wgrad_kernel(x_hbm, g_ref, out_ref, xwin, sems, *, th, w, ci, co):
-    """Accumulate patchesᵀ·g into the [9·Ci, Co] output across all steps."""
-    n = pl.program_id(0)
-    i = pl.program_id(1)
-    n_i = pl.num_programs(1)
-    linear = n * n_i + i
+def _wgrad_kernel(x_hbm, g_ref, out_ref, xwin, sems, *, th, wf, cc, cco):
+    """Accumulate one dy row-band of patchesᵀ·g; grid (3, N, H/TH).
+
+    dy comes from the grid (bounding the f32 accumulator block to
+    [3·CC, CCo]); it is selected with statically-unrolled pl.when
+    branches because Mosaic has no dynamic_slice on values.
+    """
+    d = pl.program_id(0)
+    n = pl.program_id(1)
+    i = pl.program_id(2)
+    n_n = pl.num_programs(1)
+    n_i = pl.num_programs(2)
+    linear = (d * n_n + n) * n_i + i
 
     def dma(slot, lin):
-        nn = lin // n_i
-        ii = lin % n_i
+        rem = lin % (n_n * n_i)
+        nn = rem // n_i
+        ii = rem % n_i
         return pltpu.make_async_copy(
             x_hbm.at[nn, pl.ds(ii * th, th + 2)], xwin.at[slot], sems.at[slot]
         )
@@ -126,27 +209,31 @@ def _wgrad_kernel(x_hbm, g_ref, out_ref, xwin, sems, *, th, w, ci, co):
     @pl.when(linear == 0)
     def _():
         dma(0, 0).start()
+
+    total = 3 * n_n * n_i
+
+    @pl.when(linear + 1 < total)
+    def _():
+        dma((linear + 1) % 2, linear + 1).start()
+
+    @pl.when((n == 0) & (i == 0))
+    def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    total = pl.num_programs(0) * n_i
-
-    @pl.when(linear + 1 < total)
-    def _():
-        dma((linear + 1) % 2, linear + 1).start()
-
     dma(linear % 2, linear).wait()
-    win = xwin[linear % 2]
+    v = xwin[linear % 2]  # [TH+2, WFP, CC]
+    g = g_ref[0].reshape(th * wf, cco)  # [M, CCo]
 
-    pieces = []
     for dy in range(3):
-        for dx in range(3):
-            pieces.append(win[dy : dy + th, dx : dx + w, :].reshape(th * w, ci))
-    lhs = jnp.concatenate(pieces, axis=1)              # [M, 9*Ci]
-    g = g_ref[0].reshape(th * w, co).astype(lhs.dtype)  # [M, Co]
-    out_ref[:] += jax.lax.dot_general(
-        lhs, g, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        @pl.when(d == dy)
+        def _(dy=dy):
+            for dx in range(3):
+                piece = v[dy : dy + th, dx : dx + wf, :].reshape(th * wf, cc)
+                out_ref[dx * cc : (dx + 1) * cc] += jax.lax.dot_general(
+                    piece, g.astype(piece.dtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
 
 # ------------------------------------------------------------- dispatch
@@ -155,55 +242,62 @@ def _wgrad_kernel(x_hbm, g_ref, out_ref, xwin, sems, *, th, w, ci, co):
 def _conv3x3_call(x: jax.Array, w: jax.Array, interpret: bool = False) -> jax.Array:
     n, h, width, ci = x.shape
     co = w.shape[-1]
-    th = _pick_th(h)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    wf = w.reshape(9 * ci, co).astype(x.dtype)
-    grid = (n, h // th)
-    kernel = functools.partial(_fwd_kernel, th=th, w=width, ci=ci, co=co)
-    return pl.pallas_call(
+    f, th, wf, wfp, cc, cco = _geometry(x.shape, co, x.dtype)
+    xf = _fold_x(x, f, wfp)
+    wff = _fold_weights(w, f).astype(x.dtype).reshape(9, cc, cco)
+    kernel = functools.partial(_fwd_kernel, th=th, wf=wf, cc=cc, cco=cco)
+    out = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(n, h // th),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((9 * ci, co), lambda nn, ii: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, cc, cco), lambda nn, ii: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, th, width, co), lambda nn, ii: (nn, ii, 0, 0), memory_space=pltpu.VMEM
+            (1, th, wf, cco), lambda nn, ii: (nn, ii, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n, h, width, co), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, h, wf, cco), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, th + 2, width + 2, ci), x.dtype),
+            pltpu.VMEM((2, th + 2, wfp, cc), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xp, wf)
+    )(xf, wff)
+    return out.reshape(n, h, width, co)
 
 
 def _wgrad_call(x: jax.Array, g: jax.Array, interpret: bool = False) -> jax.Array:
     n, h, width, ci = x.shape
     co = g.shape[-1]
-    th = _pick_th(h)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    grid = (n, h // th)
-    kernel = functools.partial(_wgrad_kernel, th=th, w=width, ci=ci, co=co)
-    out = pl.pallas_call(
+    f, th, wf, wfp, cc, cco = _geometry(x.shape, co, x.dtype)
+    xf = _fold_x(x, f, wfp)
+    gf = _fold_g(g, f)
+    kernel = functools.partial(_wgrad_kernel, th=th, wf=wf, cc=cc, cco=cco)
+    dwf = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(3, n, h // th),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, th, width, co), lambda nn, ii: (nn, ii, 0, 0),
+            pl.BlockSpec((1, th, wf, cco), lambda d, nn, ii: (nn, ii, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((9 * ci, co), lambda nn, ii: (0, 0),
+        out_specs=pl.BlockSpec((3 * cc, cco), lambda d, nn, ii: (d, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((9 * ci, co), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((9 * cc, cco), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, th + 2, width + 2, ci), x.dtype),
+            pltpu.VMEM((2, th + 2, wfp, cc), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xp, g)
-    return out.reshape(3, 3, ci, co)
+    )(xf, gf)
+    # Pull the folded weight grad back through the (linear) fold.
+    fold = lambda ww: _fold_weights(ww, f)
+    (dw,) = jax.linear_transpose(
+        fold, jax.ShapeDtypeStruct((3, 3, ci, co), dwf.dtype)
+    )(dwf)
+    return dw
 
 
 def _flip_t(w: jax.Array) -> jax.Array:

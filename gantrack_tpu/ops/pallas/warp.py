@@ -72,10 +72,22 @@ def _window_origin(ax, bx, cx, ay, by, cy, r, c, wr, wc, h_in, w_in):
     return r0, c0, x0, y0
 
 
+def _mxu_precision(dt):
+    """Explicit per-dtype MXU precision: the augment pipeline pins
+    ``default_matmul_precision('highest')`` for its f32 transform math,
+    and that ambient context would otherwise stamp ``fp32`` contract
+    precision onto *bf16* kernel matmuls — a combination this Mosaic
+    build rejects ('Bad lhs type').  bf16 operands always want the
+    one-pass MXU; f32 operands keep the 6-pass exact contraction."""
+    return (jax.lax.Precision.DEFAULT if dt == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+
+
 def _warp_kernel(coeff_ref, img_ref, out_ref, *, wr, wc, h_in, w_in):
     b = pl.program_id(0)
     r = pl.program_id(1)
     c = pl.program_id(2)
+    dt = img_ref.dtype  # MXU dtype; hats are built f32, applied in dt
     ax, bx, cx, ay, by, cy = _coeffs(coeff_ref, b)
     r0, c0, x0, y0 = _window_origin(ax, bx, cx, ay, by, cy, r, c, wr, wc, h_in, w_in)
     win = img_ref[0, pl.ds(r0, wr), pl.ds(c0, wc)]  # [wr, wc]
@@ -87,14 +99,15 @@ def _warp_kernel(coeff_ref, img_ref, out_ref, *, wr, wc, h_in, w_in):
         yy = y0 + y
         fx = ax * xi + (bx * yy + cx) - c0f      # [1, TC]
         fy = ay * xi + (by * yy + cy) - r0f      # [1, TC]
-        wx = _hat_rows(fx, wc)                   # [wc, TC]
-        wy = _hat_rows(fy, wr)                   # [wr, TC]
+        wx = _hat_rows(fx, wc).astype(dt)        # [wc, TC]
+        wy = _hat_rows(fy, wr)                   # [wr, TC] (f32 VPU apply)
         s = jax.lax.dot_general(
             win, wx, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_mxu_precision(dt),
         )                                        # [wr, TC]
         val = jnp.sum(wy * s, axis=0, keepdims=True)  # [1, TC]
-        out_ref[0, y : y + 1, :] = val
+        out_ref[0, y : y + 1, :] = val.astype(out_ref.dtype)
 
 
 def _splat_kernel(coeff_ref, g_ref, out_ref, *, wr, wc, h_in, w_in):
@@ -104,8 +117,9 @@ def _splat_kernel(coeff_ref, g_ref, out_ref, *, wr, wc, h_in, w_in):
 
     @pl.when(jnp.logical_and(r == 0, c == 0))
     def _():
-        out_ref[0] = jnp.zeros((h_in, w_in), jnp.float32)
+        out_ref[0] = jnp.zeros((h_in, w_in), out_ref.dtype)
 
+    dt = g_ref.dtype
     ax, bx, cx, ay, by, cy = _coeffs(coeff_ref, b)
     r0, c0, x0, y0 = _window_origin(ax, bx, cx, ay, by, cy, r, c, wr, wc, h_in, w_in)
     xi = jax.lax.broadcasted_iota(jnp.int32, (1, TC), 1).astype(jnp.float32) + x0
@@ -117,15 +131,16 @@ def _splat_kernel(coeff_ref, g_ref, out_ref, *, wr, wc, h_in, w_in):
         yy = y0 + y
         fx = ax * xi + (bx * yy + cx) - c0f
         fy = ay * xi + (by * yy + cy) - r0f
-        wx = _hat_rows(fx, wc)                   # [wc, TC]
+        wx = _hat_rows(fx, wc).astype(dt)        # [wc, TC]
         wy = _hat_rows(fy, wr)                   # [wr, TC]
-        g = g_ref[0, y : y + 1, :]               # [1, TC]
+        g = g_ref[0, y : y + 1, :].astype(jnp.float32)  # [1, TC]
         acc = acc + jax.lax.dot_general(
-            wy * g, wx, dimension_numbers=(((1,), (1,)), ((), ())),
+            (wy * g).astype(dt), wx, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_mxu_precision(dt),
         )                                        # [wr, wc]
-    cur = out_ref[0, pl.ds(r0, wr), pl.ds(c0, wc)]
-    out_ref[0, pl.ds(r0, wr), pl.ds(c0, wc)] = cur + acc
+    cur = out_ref[0, pl.ds(r0, wr), pl.ds(c0, wc)].astype(jnp.float32)
+    out_ref[0, pl.ds(r0, wr), pl.ds(c0, wc)] = (cur + acc).astype(out_ref.dtype)
 
 
 def _pad_up(v: int, m: int) -> int:
@@ -156,7 +171,7 @@ def _warp_call(img, coeffs, out_h, out_w, wr, wc, interpret):
         ],
         out_specs=pl.BlockSpec((1, TR, TC), lambda b, r, c: (b, r, c),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, oh, ow), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, oh, ow), img.dtype),
         interpret=interpret,
     )(coeffs, img)
     return out[:, :out_h, :out_w]
@@ -182,6 +197,9 @@ def _splat_call(g, coeffs, h_in, w_in, wr, wc, interpret):
         ],
         out_specs=pl.BlockSpec((1, h_in, w_in), lambda b, r, c: (b, 0, 0),
                                memory_space=pltpu.VMEM),
+        # f32 canvas: adjacent tiles' (aligned, clamped) windows overlap,
+        # so the splat accumulates read-modify-write — bf16 RMW would
+        # compound rounding. Cast to the cotangent dtype in the VJP.
         out_shape=jax.ShapeDtypeStruct((b, h_in, w_in), jnp.float32),
         interpret=interpret,
     )(coeffs, g)
@@ -190,26 +208,27 @@ def _splat_call(g, coeffs, h_in, w_in, wr, wc, interpret):
 def _affine_warp_fwd(img, coeffs, out_h, out_w, wr, wc, interpret):
     return (
         _warp_call(img, coeffs, out_h, out_w, wr, wc, interpret),
-        (img.shape, coeffs),
+        (img.shape, coeffs, jnp.zeros((0,), img.dtype)),
     )
 
 
 def _affine_warp_bwd(out_h, out_w, wr, wc, interpret, res, g):
-    (b, h_in, w_in), coeffs = res
+    (b, h_in, w_in), coeffs, proto = res
     img_grad = _affine_splat_planes(
         g, coeffs, h_in, w_in, wr, wc, interpret, (out_h, out_w)
     )
-    return img_grad, jnp.zeros_like(coeffs)
+    return img_grad.astype(proto.dtype), jnp.zeros_like(coeffs)
 
 
 def _affine_splat_fwd(g, coeffs, h_in, w_in, wr, wc, interpret, out_hw):
-    return _splat_call(g, coeffs, h_in, w_in, wr, wc, interpret), coeffs
+    return _splat_call(g, coeffs, h_in, w_in, wr, wc, interpret), (coeffs, jnp.zeros((0,), g.dtype))
 
 
-def _affine_splat_bwd(h_in, w_in, wr, wc, interpret, out_hw, coeffs, gg):
+def _affine_splat_bwd(h_in, w_in, wr, wc, interpret, out_hw, res, gg):
+    coeffs, proto = res
     out_h, out_w = out_hw
     g_grad = _affine_warp_planes(gg, coeffs, out_h, out_w, wr, wc, interpret)
-    return g_grad, jnp.zeros_like(coeffs)
+    return g_grad.astype(proto.dtype), jnp.zeros_like(coeffs)
 
 
 _affine_warp_planes.defvjp(_affine_warp_fwd, _affine_warp_bwd)
@@ -270,7 +289,8 @@ def affine_warp(
         h_in += pad_h
         w_in += pad_w
 
-    planes = jnp.transpose(img, (0, 3, 1, 2)).reshape(n * c, h_in, w_in).astype(jnp.float32)
+    dt = img.dtype if img.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+    planes = jnp.transpose(img, (0, 3, 1, 2)).reshape(n * c, h_in, w_in).astype(dt)
     coeffs_planes = jnp.repeat(coeffs, c, axis=0)
     out = _affine_warp_planes(planes, coeffs_planes, out_h, out_w, wr, wc, interpret)
     return jnp.transpose(out.reshape(n, c, out_h, out_w), (0, 2, 3, 1)).astype(img.dtype)

@@ -341,12 +341,19 @@ class AugmentPipe:
     """
 
     def __init__(self, cfg: AugmentConfig, height: int, width: int, num_channels: int,
-                 impl: str = "auto"):
+                 impl: str = "auto", compute_dtype=jnp.bfloat16):
         assert num_channels in (1, 2, 3), "reference supports L/RGB; 2ch = multimodal pairs"
         self.cfg = cfg
         self.height = height
         self.width = width
         self.num_channels = num_channels
+        # Image-path dtype. bf16 halves the HBM traffic of the reflect-pad/
+        # FIR/warp chain and doubles the warp kernel's MXU rate; transform
+        # *matrices* and sampling coordinates stay f32 regardless (below).
+        # The D input is cast to bf16 by its first fp16-res block anyway
+        # (reference trains D in fp16 at these resolutions), so augmenting
+        # in bf16 matches the reference's effective precision surface.
+        self.compute_dtype = compute_dtype
         self.hz_geom = setup_filter(WAVELETS["sym6"])
         self.hz_fbank = jnp.asarray(_filter_bank())
         self.margin = compute_static_margin(cfg, height, width)
@@ -365,7 +372,10 @@ class AugmentPipe:
         # coordinates by whole pixels.  All heavy image work inside
         # already pins its own precision.
         with jax.default_matmul_precision("highest"):
-            return self._apply(images, p, rng, debug_percentile)
+            in_dtype = images.dtype
+            out = self._apply(images.astype(self.compute_dtype), p, rng,
+                              debug_percentile)
+            return out.astype(in_dtype)
 
     def _apply(self, images: jax.Array, p: jax.Array, rng: jax.Array,
                debug_percentile: Optional[float] = None) -> jax.Array:

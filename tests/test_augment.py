@@ -46,7 +46,7 @@ def test_geometric_medical_config_matches_reference(dp):
         aniso=1, xfrac=1, scale_std=0.05, aniso_std=0.05, xfrac_std=0.05,
     )
     ref = _ref_pipe(**cfg_kwargs)
-    ours = AugmentPipe(AugmentConfig(**cfg_kwargs), 32, 32, 1)
+    ours = AugmentPipe(AugmentConfig(**cfg_kwargs), 32, 32, 1, compute_dtype=jnp.float32)
 
     rng = np.random.default_rng(0)
     x = rng.standard_normal((4, 32, 32, 1)).astype(np.float32)
@@ -60,7 +60,7 @@ def test_geometric_medical_config_matches_reference(dp):
 def test_color_sections_match_reference_3ch(dp):
     cfg_kwargs = dict(brightness=1, contrast=1, lumaflip=1, hue=1, saturation=1)
     ref = _ref_pipe(**cfg_kwargs)
-    ours = AugmentPipe(AugmentConfig(**cfg_kwargs), 16, 16, 3)
+    ours = AugmentPipe(AugmentConfig(**cfg_kwargs), 16, 16, 3, compute_dtype=jnp.float32)
     rng = np.random.default_rng(1)
     x = rng.standard_normal((4, 16, 16, 3)).astype(np.float32)
     want = _run_ref(ref, x, dp)
@@ -73,7 +73,7 @@ def test_color_sections_match_reference_3ch(dp):
 def test_color_1ch_matches_reference(dp):
     cfg_kwargs = dict(brightness=1, contrast=1, lumaflip=1)
     ref = _ref_pipe(**cfg_kwargs)
-    ours = AugmentPipe(AugmentConfig(**cfg_kwargs), 16, 16, 1)
+    ours = AugmentPipe(AugmentConfig(**cfg_kwargs), 16, 16, 1, compute_dtype=jnp.float32)
     rng = np.random.default_rng(2)
     x = rng.standard_normal((2, 16, 16, 1)).astype(np.float32)
     want = _run_ref(ref, x, dp)
@@ -87,7 +87,7 @@ def test_imgfilter_matches_reference(dp):
     cfg_kwargs = dict(imgfilter=1)
     ref = _ref_pipe(**cfg_kwargs)
     # 64²: the filter-bank halo (taps//2) exceeds a 16² reflect pad.
-    ours = AugmentPipe(AugmentConfig(imgfilter=1), 64, 64, 1)
+    ours = AugmentPipe(AugmentConfig(imgfilter=1), 64, 64, 1, compute_dtype=jnp.float32)
     rng = np.random.default_rng(3)
     x = rng.standard_normal((2, 64, 64, 1)).astype(np.float32)
     want = _run_ref(ref, x, dp)
@@ -99,7 +99,7 @@ def test_imgfilter_matches_reference(dp):
 def test_cutout_matches_reference():
     cfg_kwargs = dict(cutout=1)
     ref = _ref_pipe(**cfg_kwargs)
-    ours = AugmentPipe(AugmentConfig(cutout=1), 16, 16, 1)
+    ours = AugmentPipe(AugmentConfig(cutout=1), 16, 16, 1, compute_dtype=jnp.float32)
     rng = np.random.default_rng(4)
     x = rng.standard_normal((2, 16, 16, 1)).astype(np.float32)
     want = _run_ref(ref, x, 0.4)
@@ -111,7 +111,7 @@ def test_p_zero_is_identity_for_gated_augs():
     """With p=0 every augmentation must gate to identity (no geometric
     section runs identity-exact because the warp chain is exact only in
     the interior; use color/corruption sections)."""
-    ours = AugmentPipe(AugmentConfig(brightness=1, contrast=1, noise=1, cutout=1), 16, 16, 1)
+    ours = AugmentPipe(AugmentConfig(brightness=1, contrast=1, noise=1, cutout=1), 16, 16, 1, compute_dtype=jnp.float32)
     rng = np.random.default_rng(5)
     x = rng.standard_normal((4, 16, 16, 1)).astype(np.float32)
     got = ours(jnp.asarray(x), jnp.asarray(0.0), jax.random.PRNGKey(0))
@@ -127,7 +127,7 @@ def test_static_margin_reasonable():
 
 
 def test_augment_is_differentiable():
-    ours = AugmentPipe(medical_augment_config(), 16, 16, 1)
+    ours = AugmentPipe(medical_augment_config(), 16, 16, 1, compute_dtype=jnp.float32)
     x = jnp.ones((2, 16, 16, 1))
 
     def f(x):

@@ -29,6 +29,7 @@ CASES = [
     (2, 16, 64, 64),
     (1, 16, 64, 128),
     (2, 8, 128, 64),
+    (1, 32, 64, 64),
 ]
 
 
@@ -48,13 +49,16 @@ def test_supported_predicate():
     assert not supported((4, 4, 4, 513), (3, 3, 513, 512), jnp.float32)  # epilogue
     assert not supported((4, 16, 16, 64), (1, 1, 64, 64), jnp.float32)   # 1x1
     assert not supported((4, 16, 16, 48), (3, 3, 48, 64), jnp.float32)   # lanes
+    assert not supported((2, 8, 8, 64), (3, 3, 64, 64), jnp.float32)    # folded width < 8
+    assert supported((1, 8, 8, 512), (3, 3, 512, 512), jnp.bfloat16)
+    assert supported((1, 8, 8, 512), (3, 3, 512, 512), jnp.float32)
 
 
 def test_vjp_matches_lax():
     kx, kw, kg = jax.random.split(jax.random.PRNGKey(1), 3)
-    x = _rand(kx, (2, 8, 8, 64))
+    x = _rand(kx, (2, 16, 16, 64))
     w = _rand(kw, (3, 3, 64, 64)) / 24.0
-    g = _rand(kg, (2, 8, 8, 64))
+    g = _rand(kg, (2, 16, 16, 64))
 
     def f_ref(x, w):
         return jnp.sum(_ref(x, w) * g)
@@ -70,8 +74,8 @@ def test_vjp_matches_lax():
 
 def test_wgrad_direct():
     kx, kg = jax.random.split(jax.random.PRNGKey(2))
-    x = _rand(kx, (2, 8, 8, 64))
-    g = _rand(kg, (2, 8, 8, 128))
+    x = _rand(kx, (2, 16, 16, 64))
+    g = _rand(kg, (2, 16, 16, 128))
     dw = wgrad3x3(x, g, True)
     ref = jax.grad(lambda w: jnp.sum(_ref(x, w) * g))(jnp.zeros((3, 3, 64, 128)))
     np.testing.assert_allclose(np.asarray(dw), np.asarray(ref), rtol=1e-4, atol=1e-4)
@@ -80,7 +84,7 @@ def test_wgrad_direct():
 def test_grad_of_grad_r1_style():
     """R1-style double backward: d/dw of ||d conv/d x||² must match XLA."""
     kx, kw = jax.random.split(jax.random.PRNGKey(3))
-    x = _rand(kx, (1, 8, 8, 64))
+    x = _rand(kx, (1, 16, 16, 64))
     w = _rand(kw, (3, 3, 64, 64)) / 24.0
 
     def r1(conv):

@@ -94,8 +94,8 @@ def test_augment_pipe_pallas_interpret_matches_gather():
     x = jnp.asarray(rng.standard_normal((4, 32, 32, 1)).astype(np.float32))
     k = jax.random.PRNGKey(0)
     cfg = medical_augment_config()
-    a_g = AugmentPipe(cfg, 32, 32, 1, impl="gather")
-    a_p = AugmentPipe(cfg, 32, 32, 1, impl="pallas-interpret")
+    a_g = AugmentPipe(cfg, 32, 32, 1, impl="gather", compute_dtype=jnp.float32)
+    a_p = AugmentPipe(cfg, 32, 32, 1, impl="pallas-interpret", compute_dtype=jnp.float32)
     y_g = a_g(x, jnp.asarray(1.0), k, debug_percentile=0.3)
     y_p = a_p(x, jnp.asarray(1.0), k, debug_percentile=0.3)
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_g), rtol=1e-4, atol=1e-4)
