@@ -59,6 +59,25 @@ class VGG16(nn.Module):
         return x
 
 
+def lpips_features(model: "VGG16", variables: Dict, img255: jax.Array) -> jax.Array:
+    """LPIPS embedding: unit-normalised conv-block activations, flattened.
+
+    Mirrors the contract of the reference's ``vgg16(x, return_lpips=True)``
+    (NVIDIA ``vgg16.pt``; used by ``projector.py:171-180,231-247``): the
+    squared L2 distance between two embeddings is the perceptual distance.
+    Activations are channel-unit-normalised per pixel and scaled by
+    1/√(H·W) so each block contributes its spatial-mean squared error.
+    """
+    taps = model.apply(variables, img255, return_taps=True)
+    feats = []
+    for t in taps:
+        norm = jnp.sqrt(jnp.sum(jnp.square(t), axis=-1, keepdims=True) + 1e-10)
+        t = t / norm
+        n, h, w, c = t.shape
+        feats.append((t / np.sqrt(h * w)).reshape(n, -1))
+    return jnp.concatenate(feats, axis=1)
+
+
 def random_params(rng: jax.Array, resize_to: int = 224) -> Dict:
     model = VGG16(resize_to=resize_to)
     dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
