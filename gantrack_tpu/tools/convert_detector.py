@@ -94,7 +94,11 @@ def convert_vgg_state_dict(sd: dict) -> dict:
     for src, dst in layer_map:
         out[f"{dst}/kernel"] = np.transpose(_np(sd[f"{src}.weight"]), (2, 3, 1, 0))
         out[f"{dst}/bias"] = _np(sd[f"{src}.bias"])
-    out["fc1/kernel"] = np.transpose(_np(sd["classifier.0.weight"]))
+    # torch flattens NCHW (channel-major) before fc1; our flax model
+    # flattens NHWC — permute the fc1 input axes accordingly.
+    w = _np(sd["classifier.0.weight"])  # [4096, 512*7*7] in (C, H, W) order
+    w = w.reshape(4096, 512, 7, 7).transpose(2, 3, 1, 0).reshape(7 * 7 * 512, 4096)
+    out["fc1/kernel"] = w
     out["fc1/bias"] = _np(sd["classifier.0.bias"])
     out["fc2/kernel"] = np.transpose(_np(sd["classifier.3.weight"]))
     out["fc2/bias"] = _np(sd["classifier.3.bias"])
