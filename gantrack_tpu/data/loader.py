@@ -86,13 +86,15 @@ class InfiniteLoader:
 
     def _make_batch(self) -> Tuple[np.ndarray, np.ndarray]:
         idx = [next(self._indices) for _ in range(self.batch_size)]
-        labels = np.stack([self.dataset.get_label(i) for i in idx]).astype(np.float32)
         if hasattr(self.dataset, "gather_batch"):
-            # Native C++ batched gather (sharded memmap datasets).
+            # Native C++ batched gather (sharded memmap datasets);
+            # get_label reads the in-memory label table only.
+            labels = np.stack([self.dataset.get_label(i) for i in idx]).astype(np.float32)
             images = self.dataset.gather_batch(np.asarray(idx), normalize=self.normalize)
             return images, labels
-        imgs = [self.dataset[i][0] for i in idx]
-        images = np.stack(imgs).astype(np.float32)
+        items = [self.dataset[i] for i in idx]  # one raw read per item
+        labels = np.stack([it[1] for it in items]).astype(np.float32)
+        images = np.stack([it[0] for it in items]).astype(np.float32)
         if self.normalize:
             images = images / 127.5 - 1.0
         return images, labels

@@ -116,7 +116,12 @@ def main(**opts):
     """Train StyleGAN2-ADA / StyleGAN3 on a TPU mesh."""
     from ..data.dataset import open_dataset
     from ..metrics import registry as metric_registry
+    from ..parallel.mesh import initialize_distributed
     from ..utils.config import EasyDict, allocate_run_dir, dump_options
+
+    # Multi-host bootstrap (no-op single-host); must precede backend use.
+    if initialize_distributed():
+        print(f"Distributed: process {jax.process_index()}/{jax.process_count()}")
 
     opts = EasyDict(opts)
 
@@ -278,8 +283,12 @@ def train(c, opts, run_dir, dataset_kwargs):
     )
     stepper = TrainStepper(loss, opt_g, opt_d, step_cfg, mesh)
 
+    # Each host loads only its shard of the global batch; the index stream
+    # strides by process (reference InfiniteSampler rank semantics) and
+    # shard_batch assembles the global array from the local rows.
+    assert opts.batch % jax.process_count() == 0, (opts.batch, jax.process_count())
     loader = InfiniteLoader(
-        dataset, batch_size=opts.batch,
+        dataset, batch_size=opts.batch // jax.process_count(),
         rank=jax.process_index(), num_replicas=jax.process_count(),
         seed=opts.seed,
     )
