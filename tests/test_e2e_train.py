@@ -14,6 +14,8 @@ import pytest
 
 import jax
 
+pytestmark = pytest.mark.slow  # 8-device virtual-mesh compiles dominate
+
 
 @pytest.fixture(scope="module")
 def shard_dataset(tmp_path_factory):

@@ -1,6 +1,7 @@
 """Gradient accumulation (micro_batches > 1) runs all phases and matches
 the reference's sum-of-chunk-mean-grads semantics."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -12,6 +13,8 @@ from gantrack_tpu.training import (
     StyleGAN2Loss, StyleGAN2LossConfig, TrainStepConfig, TrainStepper,
     create_train_state, lazy_reg_adam,
 )
+
+pytestmark = pytest.mark.slow  # 8-device virtual-mesh compiles dominate
 
 RES, ZDIM = 16, 8
 

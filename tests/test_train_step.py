@@ -20,6 +20,8 @@ from gantrack_tpu.training import (
     lazy_reg_adam,
 )
 
+pytestmark = pytest.mark.slow  # 8-device virtual-mesh compiles dominate
+
 RES = 16
 ZDIM = 8
 

@@ -15,6 +15,8 @@ from gantrack_tpu.training import (
     create_train_state, lazy_reg_adam,
 )
 
+pytestmark = pytest.mark.slow  # 8-device virtual-mesh compiles dominate
+
 RES = 32
 ZDIM = 8
 
