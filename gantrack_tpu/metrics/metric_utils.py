@@ -5,7 +5,11 @@ Capability parity with the reference ``metrics/metric_utils.py``:
 dataset/generator feature passes with multimodal channel selection and
 1→3-channel expansion (``:201-323``), and md5-keyed dataset-feature
 caching.  TPU-native: feature extraction is one jitted NHWC inference
-function; with multiple devices the batch axis is sharded by the caller.
+function; with a multi-device mesh the batch axis is sharded across the
+chips (the reference's rank-interleaved extraction,
+``metric_utils.py:117-125,237``) — real batches device_put sharded, and
+the generator pass runs G→postprocess→detector as ONE sharded jit with
+no per-batch host round-trip.
 """
 
 from __future__ import annotations
@@ -17,8 +21,10 @@ from typing import Any, Callable, Dict, Iterator, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data.dataset import GANDataset
+from ..parallel.mesh import DATA_AXIS
 from .feature_stats import FeatureStats, cache_path
 
 
@@ -42,17 +48,52 @@ class MetricOptions:
     cache_dir: Optional[str] = None
     seed: int = 0
     progress: Optional[Callable[[int, int], None]] = None
+    mesh: Optional[Mesh] = None   # shard extraction over these devices
 
 
 class Detector:
-    """A jitted feature extractor: float images 0..255 NHWC(3) → [N, D]."""
+    """A jitted feature extractor: float images 0..255 NHWC(3) → [N, D].
 
-    def __init__(self, apply_fn, params, name: str):
+    ``sharded(mesh)`` returns a view whose calls split the batch across
+    the mesh's data axis (rows padded to a device multiple, features
+    gathered) — the TPU-mesh equivalent of the reference's rank-sharded
+    feature extraction (``metric_utils.py:117-125``).
+    """
+
+    def __init__(self, apply_fn, params, name: str, mesh: Optional[Mesh] = None):
         self.name = name
-        self._fn = jax.jit(lambda imgs: apply_fn(params, imgs))
+        self.apply_fn = apply_fn
+        self.params = params
+        self.mesh = mesh if mesh is not None and mesh.devices.size > 1 else None
+        fn = lambda imgs: apply_fn(params, imgs)
+        if self.mesh is not None:
+            self._fn = jax.jit(
+                fn,
+                in_shardings=NamedSharding(self.mesh, P(DATA_AXIS)),
+                out_shardings=NamedSharding(self.mesh, P()),
+            )
+        else:
+            self._fn = jax.jit(fn)
+
+    def sharded(self, mesh: Optional[Mesh]) -> "Detector":
+        if mesh is None or mesh.devices.size <= 1 or self.mesh is mesh:
+            return self
+        return Detector(self.apply_fn, self.params, self.name, mesh=mesh)
+
+    def device_features(self, images: jax.Array) -> jax.Array:
+        """Trace-time feature extraction (for fused generator passes)."""
+        return self.apply_fn(self.params, images)
 
     def __call__(self, images_uint8_range: np.ndarray) -> np.ndarray:
-        return np.asarray(self._fn(jnp.asarray(images_uint8_range, jnp.float32)))
+        x = jnp.asarray(images_uint8_range, jnp.float32)
+        if self.mesh is not None:
+            n = x.shape[0]
+            d = int(self.mesh.devices.size)
+            pad = (-n) % d
+            if pad:
+                x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+            return np.asarray(self._fn(x))[:n]
+        return np.asarray(self._fn(x))
 
 
 def make_random_projection_detector(seed: int = 0, dim: int = 512,
@@ -110,13 +151,15 @@ def make_vgg_detector(weights_path: Optional[str] = None, seed: int = 0) -> Dete
 def to_detector_input(images: np.ndarray, mode_idx: Optional[int]) -> np.ndarray:
     """Channel-select + 1→3 repeat (reference ``metric_utils.py:240-258``).
 
-    ``images``: float NHWC in 0..255 range.
+    ``images``: float NHWC in 0..255 range.  Works on host (numpy) and
+    traced (jnp) arrays alike.
     """
+    rep = np.repeat if isinstance(images, np.ndarray) else jnp.repeat
     if mode_idx is not None:
         images = images[..., mode_idx : mode_idx + 1]
     c = images.shape[-1]
     if c == 1:
-        images = np.repeat(images, 3, axis=-1)
+        images = rep(images, 3, axis=-1)
     elif c == 2:
         raise ValueError("select a modality (mode_idx) for multimodal data")
     return images
@@ -147,6 +190,7 @@ def compute_feature_stats_for_dataset(
             return FeatureStats.load(cache_file)
 
     stats = FeatureStats(capture_all=capture_all, capture_mean_cov=capture_mean_cov, max_items=n)
+    detector = opts.detector.sharded(opts.mesh)
     bs = opts.batch_size
     idx = 0
     while not stats.is_full():
@@ -158,7 +202,7 @@ def compute_feature_stats_for_dataset(
         if not imgs:
             break
         batch = to_detector_input(np.stack(imgs), opts.mode_idx)
-        stats.append(opts.detector(batch))
+        stats.append(detector(batch))
         if opts.progress:
             opts.progress(stats.num_items, n)
 
@@ -179,6 +223,29 @@ def compute_feature_stats_for_generator(
     assert opts.generator is not None
     stats = FeatureStats(capture_all=capture_all, capture_mean_cov=capture_mean_cov,
                          max_items=max_items)
+    mesh = opts.mesh if (opts.mesh is not None and opts.mesh.devices.size > 1) else None
+
+    def postprocess_and_extract(img):
+        # Reference ``(img·127.5+128).clamp(0,255)`` (``metric_utils.py:291``).
+        img255 = jnp.clip(img * 127.5 + 128, 0, 255)
+        return opts.detector.device_features(to_detector_input(img255, opts.mode_idx))
+
+    if mesh is not None:
+        # One sharded jit runs G → postprocess → detector across the mesh;
+        # only the [B, D] features come back to the host.
+        assert opts.batch_size % int(mesh.devices.size) == 0, \
+            (opts.batch_size, mesh.devices.size)
+        shard = NamedSharding(mesh, P(DATA_AXIS))
+        rep = NamedSharding(mesh, P())
+        if opts.c_dim > 0:
+            feats_fn = jax.jit(
+                lambda z, c: postprocess_and_extract(opts.generator(z, c)),
+                in_shardings=(shard, shard), out_shardings=rep)
+        else:
+            feats_fn = jax.jit(
+                lambda z: postprocess_and_extract(opts.generator(z, None)),
+                in_shardings=shard, out_shardings=rep)
+
     rng = jax.random.PRNGKey(opts.seed)
     while not stats.is_full():
         rng, kz, kc = jax.random.split(rng, 3)
@@ -186,19 +253,23 @@ def compute_feature_stats_for_generator(
         c = None
         if opts.c_dim > 0:
             if opts.dataset is not None and opts.dataset.has_labels:
-                ids = np.random.RandomState(int(kc[0]) % (2**31)).randint(
-                    0, len(opts.dataset), opts.batch_size
-                )
+                # Empirical label distribution (reference ``:285-287``).
+                ids = np.asarray(
+                    jax.random.randint(kc, (opts.batch_size,), 0, len(opts.dataset)))
                 c = jnp.asarray(np.stack([opts.dataset.get_label(int(i)) for i in ids]))
             else:
                 c = jax.nn.one_hot(
                     jax.random.randint(kc, (opts.batch_size,), 0, opts.c_dim), opts.c_dim
                 )
-        img = opts.generator(z, c)
-        img = np.asarray(img, np.float32)
-        img = np.clip(img * 127.5 + 128, 0, 255)
-        batch = to_detector_input(img, opts.mode_idx)
-        stats.append(opts.detector(batch))
+        if mesh is not None:
+            feats = np.asarray(feats_fn(z, c) if opts.c_dim > 0 else feats_fn(z))
+            stats.append(feats)
+        else:
+            img = opts.generator(z, c)
+            img = np.asarray(img, np.float32)
+            img = np.clip(img * 127.5 + 128, 0, 255)
+            batch = to_detector_input(img, opts.mode_idx)
+            stats.append(opts.detector(batch))
         if opts.progress and stats.max_items:
             opts.progress(stats.num_items, stats.max_items)
     return stats

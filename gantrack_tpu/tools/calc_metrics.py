@@ -30,8 +30,10 @@ import click
 @click.option("--cmax", type=int, default=512)
 @click.option("--map-depth", type=int, default=None)
 @click.option("--batch", type=int, default=64)
+@click.option("--cond", type=bool, default=False,
+              help="Conditional checkpoint: rebuild G with the dataset's label_dim")
 def main(checkpoint, metrics, data, split, modalities, mirror, detector_weights,
-         cache_dir, resolution, channels, cfg, cbase, cmax, map_depth, batch):
+         cache_dir, resolution, channels, cfg, cbase, cmax, map_depth, batch, cond):
     """Evaluate quality metrics for a trained checkpoint."""
     import jax
     import jax.numpy as jnp
@@ -53,9 +55,14 @@ def main(checkpoint, metrics, data, split, modalities, mirror, detector_weights,
         kwargs["modalities"] = mod_list
     dataset = open_dataset(data, **kwargs)
 
+    c_dim = 0
+    if cond:
+        if not dataset.has_labels:
+            raise click.ClickException("--cond requires a labelled dataset")
+        c_dim = dataset.label_dim
     g = build_generator_from_cfg(
         cfg, resolution=dataset.resolution, channels=dataset.num_channels,
-        c_dim=0, cbase=cbase, cmax=cmax, map_depth=map_depth,
+        c_dim=c_dim, cbase=cbase, cmax=cmax, map_depth=map_depth,
     )
     path = checkpoint if os.path.basename(checkpoint).startswith("state-") else latest_checkpoint(
         os.path.join(checkpoint, "checkpoints") if os.path.isdir(checkpoint) else checkpoint
@@ -90,6 +97,11 @@ def main(checkpoint, metrics, data, split, modalities, mirror, detector_weights,
         v["consts"] = consts
         return g.apply(v, z, c)
 
+    from ..parallel.mesh import create_mesh
+
+    mesh = create_mesh()
+    if mesh.devices.size > 1:
+        print(f"Sharding metric extraction over {mesh.devices.size} devices")
     detector = make_inception_detector(detector_weights)
     modes = (
         [(None, None)] if dataset.num_channels != 2
@@ -98,8 +110,9 @@ def main(checkpoint, metrics, data, split, modalities, mirror, detector_weights,
     for mode_name, mode_idx in modes:
         opts = MetricOptions(
             generator=lambda z, c: gen(z, c),
-            z_dim=g.z_dim, c_dim=0, dataset=dataset, detector=detector,
+            z_dim=g.z_dim, c_dim=c_dim, dataset=dataset, detector=detector,
             mode_idx=mode_idx, batch_size=batch, cache_dir=cache_dir,
+            mesh=mesh if mesh.devices.size > 1 else None,
         )
         opts.generator_with_transform = gen_with_transform
         for m in metric_list:

@@ -110,6 +110,8 @@ def parse_comma_separated_list(ctx, param, value):
 @click.option("--tick", type=click.IntRange(min=1), default=4)
 @click.option("--snap", type=click.IntRange(min=1), default=50)
 @click.option("--seed", type=click.IntRange(min=0), default=0)
+@click.option("--rng-impl", type=click.Choice(["rbg", "threefry"]), default="rbg",
+              help="PRNG backend for the train step (rbg = hardware bit-gen)")
 @click.option("--fp32", type=bool, default=False, help="Disable bf16 mixed precision")
 @click.option("-n", "--dry-run", is_flag=True)
 def main(**opts):
@@ -124,6 +126,12 @@ def main(**opts):
         print(f"Distributed: process {jax.process_index()}/{jax.process_count()}")
 
     opts = EasyDict(opts)
+    # Hardware RBG PRNG for the training hot path (threefry bit-gen
+    # fusions cost ~7 ms/step across the per-layer noise / style-mixing /
+    # augment streams).  Seeded + deterministic per run like the
+    # reference's per-rank torch seeding (training_loop:166-167).
+    if opts.rng_impl != "threefry":
+        jax.config.update("jax_default_prng_impl", opts.rng_impl)
 
     # ------------------------------------------------------------ config
     c = EasyDict()
@@ -281,7 +289,15 @@ def train(c, opts, run_dir, dataset_kwargs):
         ada_target=ada_target,
         ada_kimg=100 if opts.resume else opts.ada_kimg,
     )
-    stepper = TrainStepper(loss, opt_g, opt_d, step_cfg, mesh)
+    label_bank = None
+    if c_dim > 0:
+        # Gen-pass labels follow the dataset's empirical distribution
+        # (reference training_loop:319-321).
+        label_bank = np.stack(
+            [dataset.get_label(i) for i in range(len(dataset))]
+        ).astype(np.float32)
+    stepper = TrainStepper(loss, opt_g, opt_d, step_cfg, mesh,
+                           label_bank=label_bank)
 
     # Each host loads only its shard of the global batch; the index stream
     # strides by process (reference InfiniteSampler rank semantics) and
@@ -342,6 +358,7 @@ def train(c, opts, run_dir, dataset_kwargs):
                 z_dim=c.G.z_dim, c_dim=c_dim, dataset=dataset, detector=detector,
                 mode_idx=mode_idx, batch_size=64,
                 cache_dir=os.path.join(run_dir, "metric-cache") if opts.metrics_cache else None,
+                mesh=mesh if mesh.devices.size > 1 else None,
             )
             for m in c.metrics:
                 rd = calc_metric(m, mopts, mode_name=mode_name)

@@ -63,6 +63,15 @@ def _scrub(grads):
     )
 
 
+def sample_gen_labels(key: jax.Array, label_bank: jax.Array, n: int) -> jax.Array:
+    """Draw ``n`` generator-pass labels from the dataset's empirical label
+    distribution: uniform row picks from the dataset label matrix, exactly
+    the reference's ``get_label(np.random.randint(len(training_set)))``
+    (``training_loop_mi_multimodal.py:319-321``)."""
+    idx = jax.random.randint(key, (n,), 0, label_bank.shape[0])
+    return label_bank[idx]
+
+
 class TrainStepper:
     """Builds and dispatches the 4 compiled (Greg?, Dreg?) step variants.
 
@@ -80,12 +89,16 @@ class TrainStepper:
         opt_d: optax.GradientTransformation,
         cfg: TrainStepConfig,
         mesh: Mesh,
+        label_bank: Optional[Any] = None,   # [K, c_dim] dataset label matrix
     ):
         self.loss = loss
         self.opt_g = opt_g
         self.opt_d = opt_d
         self.cfg = cfg
         self.mesh = mesh
+        # Empirical gen-label distribution (reference training_loop:319-321);
+        # closed over by the compiled step as a replicated constant.
+        self.label_bank = None if label_bank is None else jnp.asarray(label_bank)
         self._single = int(mesh.devices.size) == 1
         self._steps: Dict[Tuple[bool, bool], Callable] = {}
 
@@ -157,12 +170,16 @@ class TrainStepper:
         def sample_zc(key):
             z = jax.random.normal(key, (local_b, cfg.z_dim), jnp.float32)
             if cfg.c_dim > 0:
-                # Uniform random one-hot class labels.  (The reference draws
-                # labels from the dataset's empirical distribution,
-                # training_loop:319-321; pass explicit gen labels through the
-                # loader to reproduce that exactly for skewed datasets.)
-                idx = jax.random.randint(jax.random.fold_in(key, 1), (local_b,), 0, cfg.c_dim)
-                c = jax.nn.one_hot(idx, cfg.c_dim)
+                kc = jax.random.fold_in(key, 1)
+                if self.label_bank is not None:
+                    # Dataset empirical label distribution (reference
+                    # training_loop:319-321) — skewed datasets train
+                    # identically to the reference.
+                    c = sample_gen_labels(kc, self.label_bank, local_b)
+                else:
+                    # No bank supplied: uniform one-hot fallback.
+                    idx = jax.random.randint(kc, (local_b,), 0, cfg.c_dim)
+                    c = jax.nn.one_hot(idx, cfg.c_dim)
             else:
                 c = None
             return z, c

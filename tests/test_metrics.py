@@ -196,3 +196,45 @@ def test_ppl_w_space_lerps_through_synthesis():
     v = compute_ppl(opts, num_samples=32, batch_size=16, space="w")
     assert np.isfinite(v)
     assert calls["map"] >= 2 and calls["syn"] >= 2
+
+
+# ---------------------------------------------------- mesh-sharded extraction
+
+
+def _traceable_generator(z, c):
+    """jit-compatible fake G: deterministic images from z via a fixed net."""
+    w = jax.random.normal(jax.random.PRNGKey(7), (8, 16 * 16)) / 3
+    img = jnp.tanh(z @ w).reshape(z.shape[0], 16, 16, 1)
+    return img
+
+
+def test_sharded_metric_matches_single_device():
+    """FID over the 8-device virtual mesh equals the single-device value
+    (VERDICT: reference shards feature extraction over ranks,
+    metric_utils.py:117-125,237)."""
+    from gantrack_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh()
+    assert mesh.devices.size == 8, "conftest should provide 8 virtual devices"
+
+    def opts_for(mesh_arg):
+        return MetricOptions(
+            generator=_traceable_generator, z_dim=8, c_dim=0,
+            dataset=SyntheticDataset(), detector=_tiny_detector(),
+            batch_size=16, seed=0, mesh=mesh_arg,
+        )
+
+    r_single = calc_metric("fid1k", opts_for(None))["results"]["fid1k"]
+    r_mesh = calc_metric("fid1k", opts_for(mesh))["results"]["fid1k"]
+    np.testing.assert_allclose(r_mesh, r_single, rtol=1e-4)
+
+
+def test_sharded_detector_pads_partial_batches():
+    from gantrack_tpu.parallel.mesh import create_mesh
+
+    det = _tiny_detector().sharded(create_mesh())
+    x = np.random.default_rng(0).uniform(0, 255, (13, 16, 16, 3)).astype(np.float32)
+    got = det(x)
+    want = _tiny_detector()(x)
+    assert got.shape == (13, 8)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
