@@ -147,3 +147,104 @@ def discriminator_params_from_torch(d_torch) -> Dict[str, Dict[str, Any]]:
     ep["out"] = {"weight": _fc_w(sd["b4.out.weight"]), "bias": sd["b4.out.bias"]}
     params["b4"] = ep
     return {"params": params}
+
+
+def sg3_generator_params_from_torch(g_torch) -> Dict[str, Dict[str, Any]]:
+    """Convert a reference StyleGAN3 ``Generator``
+    (``networks_stylegan3.py:489-515``) to flax variable dicts:
+    ``{"params", "emas", "consts"}``.
+
+    Layer modules are named ``L{idx}_{out_size}_{out_channels}`` in both
+    implementations; the input layer's Fourier buffers (freqs/phases) and
+    the user transform land in the ``consts`` collection, per-layer
+    ``magnitude_ema`` and the mapping ``w_avg`` in ``emas``.
+    """
+    sd = {k: _t(v) for k, v in g_torch.state_dict().items()}
+    params: Dict[str, Any] = {}
+    emas: Dict[str, Any] = {"mapping": {"w_avg": sd["mapping.w_avg"]}}
+    consts: Dict[str, Any] = {}
+
+    params["mapping"] = mapping_params_from_torch(sd, g_torch.mapping.num_layers, "mapping.")
+
+    syn_p: Dict[str, Any] = {}
+    syn_e: Dict[str, Any] = {}
+    inp: Dict[str, Any] = {"weight": sd["synthesis.input.weight"]}
+    _fc(inp, "affine", sd, "synthesis.input.affine")
+    syn_p["input"] = inp
+    consts["synthesis"] = {
+        "input": {
+            "freqs": sd["synthesis.input.freqs"],
+            "phases": sd["synthesis.input.phases"],
+            "transform": sd["synthesis.input.transform"],
+        }
+    }
+
+    for name in g_torch.synthesis.layer_names:
+        base = f"synthesis.{name}"
+        lp: Dict[str, Any] = {
+            "weight": _conv_w(sd[f"{base}.weight"]),
+            "bias": sd[f"{base}.bias"],
+        }
+        _fc(lp, "affine", sd, f"{base}.affine")
+        syn_p[name] = lp
+        syn_e[name] = {"magnitude_ema": sd[f"{base}.magnitude_ema"]}
+
+    params["synthesis"] = syn_p
+    emas["synthesis"] = syn_e
+    return {"params": params, "emas": emas, "consts": consts}
+
+
+def _convtranspose_w(x) -> np.ndarray:
+    """torch ConvTranspose2d [in, out, kh, kw] → flax ConvTranspose
+    [kh, kw, in, out] with spatial flip (lax.conv_transpose applies the
+    kernel as a correlation; torch's adjoint scatter is the flipped one)."""
+    return np.transpose(_t(x), (2, 3, 0, 1))[::-1, ::-1]
+
+
+def resnet_generator_params_from_torch(g_torch, n_blocks: int = 9) -> Dict[str, Any]:
+    """Reference CycleGAN ``ResnetGenerator`` (``networks.py:315-377``,
+    instance norm: no norm params) → our flax ``ResnetGenerator`` params."""
+    sd = {k: _t(v) for k, v in g_torch.state_dict().items()}
+
+    def conv(i):
+        p = {"kernel": _conv_w(sd[f"model.{i}.weight"])}
+        if f"model.{i}.bias" in sd:
+            p["bias"] = sd[f"model.{i}.bias"]
+        return p
+
+    params: Dict[str, Any] = {
+        "Conv_0": conv(1), "Conv_1": conv(4), "Conv_2": conv(7),
+    }
+    for b in range(n_blocks):
+        base = f"model.{10 + b}.conv_block"
+        params[f"ResnetBlock_{b}"] = {
+            "Conv_0": {"kernel": _conv_w(sd[f"{base}.1.weight"]),
+                       "bias": sd[f"{base}.1.bias"]},
+            "Conv_1": {"kernel": _conv_w(sd[f"{base}.5.weight"]),
+                       "bias": sd[f"{base}.5.bias"]},
+        }
+    for j, idx in enumerate((10 + n_blocks, 13 + n_blocks)):
+        params[f"ConvTranspose_{j}"] = {
+            "kernel": _convtranspose_w(sd[f"model.{idx}.weight"]),
+            "bias": sd[f"model.{idx}.bias"],
+        }
+    params["Conv_3"] = conv(17 + n_blocks)  # after CT,IN,ReLU ×2 and the pad
+    return params
+
+
+def nlayer_discriminator_params_from_torch(d_torch, n_layers: int = 3) -> Dict[str, Any]:
+    """Reference ``NLayerDiscriminator`` (``networks.py:538-583``) → flax."""
+    sd = {k: _t(v) for k, v in d_torch.state_dict().items()}
+    idxs = [0]                                   # first conv (no norm after)
+    i = 2                                        # skip LeakyReLU
+    for _ in range(1, n_layers + 1):
+        idxs.append(i)
+        i += 3                                   # conv, norm, lrelu
+    idxs.append(i)                               # final 1-channel conv
+    params: Dict[str, Any] = {}
+    for j, idx in enumerate(idxs):
+        params[f"Conv_{j}"] = {
+            "kernel": _conv_w(sd[f"model.{idx}.weight"]),
+            "bias": sd[f"model.{idx}.bias"],
+        }
+    return params
