@@ -91,8 +91,11 @@ class ResnetGenerator(nn.Module):
             h = ResnetBlock(self.ngf * 4, self.norm, self.use_dropout)(h, deterministic)
         for i in range(2):  # upsample
             mult = 2 ** (2 - i)
+            # padding (1,2): torch ConvTranspose2d(k=3,s=2,p=1,op=1) phase
+            # (dilated-conv pads k-1-p lo, k-1-p+op hi).
             h = nn.ConvTranspose(
-                self.ngf * mult // 2, (3, 3), strides=(2, 2), padding="SAME",
+                self.ngf * mult // 2, (3, 3), strides=(2, 2),
+                padding=((1, 2), (1, 2)),
             )(h)
             h = jax.nn.relu(_norm(self.norm)()(h))
         h = jnp.pad(h, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
@@ -119,8 +122,9 @@ class UnetSkipBlock(nn.Module):
         if not self.outermost and not self.innermost:
             down = _norm(self.norm)()(down)
         mid = down if self.innermost else self.submodule(down, deterministic)
+        # padding (2,2): torch ConvTranspose2d(k=4,s=2,p=1) phase.
         up = nn.ConvTranspose(
-            self.outer_nc, (4, 4), strides=(2, 2), padding="SAME",
+            self.outer_nc, (4, 4), strides=(2, 2), padding=((2, 2), (2, 2)),
         )(jax.nn.relu(mid))
         if self.outermost:
             return jnp.tanh(up)
