@@ -17,6 +17,10 @@ import numpy as np
 
 def main():
     import jax
+
+    # Hardware RBG PRNG: threefry costs ~7 ms/step in u32 bit-gen fusions
+    # (10+ streams: per-layer noise, style mixing, augment draws).
+    jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
 
     from gantrack_tpu.models.stylegan2 import Discriminator, Generator
