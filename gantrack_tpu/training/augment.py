@@ -332,6 +332,28 @@ def compute_warp_window(cfg: AugmentConfig, height: int, width: int,
     return window_bounds_for(max_scale, max_shear)
 
 
+def warp_window_clip_probability(cfg: AugmentConfig, height: int, width: int,
+                                 window: Tuple[int, int],
+                                 samples: int = 100000, seed: int = 1) -> float:
+    """Estimated probability that a transform draw exceeds the static
+    warp window (and would silently lose its off-window taps).
+
+    Runtime guard for the window-bounds contract: construction-time
+    windows are Monte-Carlo maxima (``compute_warp_window``), so this is
+    ~0 for the config they were computed from — call it when *reusing* a
+    pipe/window with a different (larger-magnitude) config.
+    """
+    from ..ops.pallas.warp import TC, TR
+
+    g = _sample_transforms(cfg, height, width, samples, seed)
+    a = np.abs(g[:, [0, 1], [0, 1]]).max(axis=1)   # per-sample scale
+    b = np.abs(g[:, [0, 1], [1, 0]]).max(axis=1)   # per-sample shear
+    wr_need = np.ceil(a * TR + b * TC) + 4 + 8
+    wc_need = np.ceil(a * TC + b * TR) + 4 + 128
+    wr, wc = window
+    return float(np.mean((wr_need > wr) | (wc_need > wc)))
+
+
 class AugmentPipe:
     """Callable ``(images NHWC, p, rng) -> images`` for use inside the
     jitted train step.  Construct once per resolution.
@@ -355,6 +377,9 @@ class AugmentPipe:
         # in bf16 matches the reference's effective precision surface.
         self.compute_dtype = compute_dtype
         self.hz_geom = setup_filter(WAVELETS["sym6"])
+        import numpy as _np
+
+        self._hz_geom_taps = tuple(_np.asarray(self.hz_geom, _np.float32).tolist())
         self.hz_fbank = jnp.asarray(_filter_bank())
         self.margin = compute_static_margin(cfg, height, width)
         if impl == "auto":
@@ -464,22 +489,28 @@ class AugmentPipe:
             images = _reflect_pad(images, my0, my1, mx0, mx1)
             G_inv = translate2d((mx0 - mx1) / 2, (my0 - my1) / 2) @ G_inv
 
-            # Upsample 2x and adjust transform to the finer grid.
-            images = upsample2d(images, self.hz_geom, up=2)
+            # Upsample 2x and adjust transform to the finer grid.  The
+            # pallas path *fuses* the FIR upsample into the warp kernel
+            # (ops/pallas/upwarp.py) — the 2x canvas never exists; the
+            # transform math is identical either way.
+            fused = self.impl.startswith("pallas")
+            if not fused:
+                images = upsample2d(images, self.hz_geom, up=2)
             G_inv = scale2d(2.0, 2.0) @ G_inv @ scale2d_inv(2.0, 2.0)
             G_inv = translate2d(-0.5, -0.5) @ G_inv @ translate2d_inv(-0.5, -0.5)
 
             # Affine grid-sample at the padded/upsampled resolution.
             out_h = (height + hz_pad * 2) * 2
             out_w = (width + hz_pad * 2) * 2
-            in_h, in_w = images.shape[1], images.shape[2]
+            in_h = 2 * images.shape[1] if fused else images.shape[1]
+            in_w = 2 * images.shape[2] if fused else images.shape[2]
             G_inv = scale2d(2 / in_w, 2 / in_h) @ G_inv @ scale2d_inv(2 / out_w, 2 / out_h)
-            if self.impl.startswith("pallas"):
-                from ..ops.pallas.warp import affine_warp
+            if fused:
+                from ..ops.pallas.upwarp import up_affine_warp
 
-                images = affine_warp(
-                    images, G_inv[:, :2, :], out_h, out_w,
-                    window=self.warp_window,
+                images = up_affine_warp(
+                    images, G_inv[:, :2, :], self._hz_geom_taps,
+                    out_h, out_w, window=self.warp_window,
                     interpret=(self.impl == "pallas-interpret"),
                 )
             else:

@@ -10,6 +10,8 @@ import os
 import sys
 import time
 
+import sys
+sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -135,3 +135,20 @@ def test_augment_is_differentiable():
 
     g = jax.grad(f)(x)
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_warp_window_clip_probability_guard():
+    from gantrack_tpu.training.augment import (
+        compute_warp_window, warp_window_clip_probability, medical_augment_config,
+    )
+
+    cfg = medical_augment_config()
+    window = compute_warp_window(cfg, 256, 256)
+    # The window was computed from this config's MC maxima: ~never clips.
+    p_ok = warp_window_clip_probability(cfg, 256, 256, window, samples=20000)
+    assert p_ok < 1e-3, p_ok
+    # A much larger rotation range under the same window must be flagged.
+    import dataclasses
+    big = dataclasses.replace(cfg, rotate=1.0, rotate_max=1.0, scale_std=0.4)
+    p_bad = warp_window_clip_probability(big, 256, 256, window, samples=20000)
+    assert p_bad > 0.01, p_bad
