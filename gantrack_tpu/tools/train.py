@@ -245,6 +245,19 @@ def train(c, opts, run_dir, dataset_kwargs):
     mesh = create_mesh(opts.num_devices)
     print(f"Mesh: {mesh.devices.size} devices")
 
+    if jax.process_index() == 0:
+        # Startup network tables (reference misc.print_module_summary,
+        # training_loop:186-192).
+        from ..utils.summary import print_module_summary
+
+        z0 = jnp.zeros((1, c.G.z_dim))
+        c0 = jnp.zeros((1, c_dim)) if c_dim > 0 else None
+        print_module_summary(
+            g, z0, c0, rngs={"params": jax.random.PRNGKey(0),
+                             "noise": jax.random.PRNGKey(1)}, depth=2)
+        print_module_summary(
+            d, jnp.zeros((1, res, res, channels)), c0, depth=2)
+
     state = create_train_state(
         g, d, jax.random.PRNGKey(opts.seed), opt_g, opt_d,
         z_dim=c.G.z_dim, c_dim=c_dim, img_resolution=res, img_channels=channels,
@@ -366,20 +379,29 @@ def train(c, opts, run_dir, dataset_kwargs):
                 results.update({f"{mode_name or ''}{k}": v for k, v in rd["results"].items()})
         return results
 
-    training_loop(
-        run_dir=run_dir,
-        stepper=stepper,
-        state=state,
-        loader=loader,
-        mesh=mesh,
-        total_kimg=c.total_kimg,
-        kimg_per_tick=c.kimg_per_tick,
-        snapshot_ticks=c.snapshot_ticks,
-        image_snapshot_ticks=c.snapshot_ticks,
-        metrics=c.metrics,
-        metric_fn=metric_fn if c.metrics else None,
-        sample_fn=sample_fn,
-    )
+    from ..utils.notify import notify
+
+    try:
+        training_loop(
+            run_dir=run_dir,
+            stepper=stepper,
+            state=state,
+            loader=loader,
+            mesh=mesh,
+            total_kimg=c.total_kimg,
+            kimg_per_tick=c.kimg_per_tick,
+            snapshot_ticks=c.snapshot_ticks,
+            image_snapshot_ticks=c.snapshot_ticks,
+            metrics=c.metrics,
+            metric_fn=metric_fn if c.metrics else None,
+            sample_fn=sample_fn,
+        )
+    except BaseException as e:
+        # Failure notification (reference notification_ifttt at run
+        # milestones, util_general.py:76-79); best-effort, never masks.
+        notify(f"Training FAILED in {run_dir}: {type(e).__name__}: {e}")
+        raise
+    notify(f"Training complete: {run_dir}")
 
 
 if __name__ == "__main__":

@@ -121,6 +121,12 @@ def training_loop(
             "Resources/cpu_mem_gb": psutil.Process(os.getpid()).memory_info().rss / 2**30,
             "Progress/augment": collector.mean("Progress/augment"),
         }
+        # Device memory in the tick record (reference reports peak GPU
+        # memory per tick, training_loop_mi_multimodal.py:392-395).
+        from ..utils.profiling import device_memory_stats
+
+        for k, v in device_memory_stats().items():
+            fields[f"Resources/{k}"] = v
         if verbose:
             msg = " ".join([
                 f"tick {cur_tick:<5d}",

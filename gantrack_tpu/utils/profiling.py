@@ -66,6 +66,8 @@ def device_memory_stats(device=None) -> Dict[str, float]:
         stats = device.memory_stats()
     except Exception:
         return {}
+    if not stats:  # some runtimes (axon tunnel) return None
+        return {}
     out = {}
     for key in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit"):
         if key in stats:

@@ -129,3 +129,48 @@ def test_nifti_int_dtype_roundtrip(tmp_path):
     write_nifti(p, vol)
     back, _ = read_nifti(p)
     np.testing.assert_array_equal(vol, back)
+
+
+# ----------------------------------------------- golden pins (VERDICT §8)
+# SimpleITK / nilearn / dicom2nifti are absent in this environment; the
+# scipy stand-ins are pinned with golden values so behaviour can't drift
+# silently, and a direct comparison runs automatically if the reference
+# deps ever become available.
+
+
+def test_resample_volume_golden():
+    vol = np.stack([
+        np.outer(np.sin(np.linspace(0, 3, 64)), np.cos(np.linspace(0, 2, 64)))
+    ] * 3, axis=2).astype(np.float32)
+    out, zooms = resample_volume(vol, zooms=(0.9766, 0.9766, 3.0), zoom_level=2.0)
+    assert out.shape == (32, 32, 3)
+    np.testing.assert_allclose(zooms, (1.9532, 1.9532, 3.0), rtol=1e-6)
+    # Golden pin: linear-interp scipy.ndimage.zoom output.
+    np.testing.assert_allclose(float(out.mean()), 0.28946677, rtol=1e-5)
+    np.testing.assert_allclose(float(out[10, 10, 1]), 0.65782851, rtol=1e-4)
+    np.testing.assert_allclose(float(out[25, 7, 0]), 0.59463125, rtol=1e-4)
+
+
+def test_body_mask_golden():
+    rng = np.random.default_rng(11)
+    sl = rng.normal(20, 5, (64, 64))
+    yy, xx = np.mgrid[0:64, 0:64]
+    body = ((yy - 32) ** 2 + (xx - 30) ** 2) < 24**2
+    sl[body] += 200
+    mask = body_mask_slice(sl)  # Otsu path
+    np.testing.assert_allclose(int(mask.sum()), 1789, atol=6)
+    assert mask[32, 30] == 1 and mask[0, 0] == 0
+
+
+def test_resample_matches_simpleitk_if_available():
+    sitk = pytest.importorskip("SimpleITK")
+    vol = np.random.default_rng(0).random((64, 64, 4)).astype(np.float32)
+    out, _ = resample_volume(vol, zooms=(1.0, 1.0, 3.0), zoom_level=2.0)
+    img = sitk.GetImageFromArray(np.transpose(vol, (2, 0, 1)))
+    img.SetSpacing((1.0, 1.0, 3.0))
+    res = sitk.Resample(
+        img, [32, 32, 4], sitk.Transform(), sitk.sitkLinear, img.GetOrigin(),
+        (2.0, 2.0, 3.0), img.GetDirection(), 0.0, img.GetPixelID())
+    want = np.transpose(sitk.GetArrayFromImage(res), (1, 2, 0))
+    delta = np.abs(out - want).max()
+    assert delta < 0.1, f"scipy respacing delta vs SimpleITK: {delta}"
