@@ -76,7 +76,10 @@ def main():
     def _drain(s):
         np.asarray(s.pl_mean)  # device->host fetch of a scalar
 
-    def median_step_ms(do_gpl, do_dr1, windows=5, steps_per_window=4):
+    def median_step_ms(do_gpl, do_dr1, windows=5, steps_per_window=16):
+        # 16-step windows: the drain + first-dispatch latency (~30 ms via
+        # the tunneled runtime) amortises as in real training, where the
+        # loop runs back-to-back and fetches only at tick boundaries.
         nonlocal state
         fn = stepper.get(do_gpl, do_dr1)
         state, _ = fn(state, imgs, zeros_c)  # compile + first exec

@@ -170,3 +170,27 @@ def eqr50k(opts: MetricOptions) -> dict:
         compute_eqt_frac=False, compute_eqr=True,
     )
     return {"eqr50k": r["eqr"]}
+
+
+@register_metric
+def eqt1k_int(opts: MetricOptions) -> dict:
+    """Fast tier of eqt50k_int (validation runs; same estimator)."""
+    from .equivariance import compute_equivariance_metrics
+
+    r = compute_equivariance_metrics(
+        opts, num_samples=1000, compute_eqt_int=True,
+        compute_eqt_frac=False, compute_eqr=False,
+    )
+    return {"eqt1k_int": r["eqt_int"]}
+
+
+@register_metric
+def eqr1k(opts: MetricOptions) -> dict:
+    """Fast tier of eqr50k (validation runs; same estimator)."""
+    from .equivariance import compute_equivariance_metrics
+
+    r = compute_equivariance_metrics(
+        opts, num_samples=1000, compute_eqt_int=False,
+        compute_eqt_frac=False, compute_eqr=True,
+    )
+    return {"eqr1k": r["eqr"]}

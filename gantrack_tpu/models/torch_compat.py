@@ -248,3 +248,46 @@ def nlayer_discriminator_params_from_torch(d_torch, n_layers: int = 3) -> Dict[s
             "bias": sd[f"model.{idx}.bias"],
         }
     return params
+
+
+def unet_generator_params_from_torch(g_torch, num_downs: int) -> Dict[str, Any]:
+    """Reference pix2pix ``UnetGenerator`` (``networks.py:436-530``,
+    instance norm) → our flax ``UnetGenerator`` params.
+
+    The torch module nests ``UnetSkipConnectionBlock``s with per-level
+    sequential indices (outermost: down 0 / sub 1 / up 3; middle:
+    down 1 / sub 3 / up 5; innermost: down 1 / up 3); the flax blocks
+    nest as ``UnetSkipBlock_0`` scopes with ``Conv_0``/``ConvTranspose_0``.
+    """
+    sd = {k: _t(v) for k, v in g_torch.state_dict().items()}
+
+    def conv(prefix):
+        p = {"kernel": _conv_w(sd[f"{prefix}.weight"])}
+        if f"{prefix}.bias" in sd:
+            p["bias"] = sd[f"{prefix}.bias"]
+        return p
+
+    def ct(prefix):
+        return {"kernel": _convtranspose_w(sd[f"{prefix}.weight"]),
+                "bias": sd[f"{prefix}.bias"]}
+
+    # Flax constructs the blocks innermost-first in UnetGenerator.__call__,
+    # so they are *siblings*: UnetSkipBlock_0 = innermost ...
+    # UnetSkipBlock_{num_downs-1} = outermost.
+    params: Dict[str, Any] = {}
+
+    def walk(prefix, level):
+        outermost = level == 0
+        innermost = level == num_downs - 1
+        down_idx = 0 if outermost else 1
+        up_idx = 3 if (outermost or innermost) else 5
+        params[f"UnetSkipBlock_{num_downs - 1 - level}"] = {
+            "Conv_0": conv(f"{prefix}model.{down_idx}"),
+            "ConvTranspose_0": ct(f"{prefix}model.{up_idx}"),
+        }
+        if not innermost:
+            sub_idx = 1 if outermost else 3
+            walk(f"{prefix}model.{sub_idx}.", level + 1)
+
+    walk("model.", 0)
+    return params

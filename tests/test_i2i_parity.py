@@ -115,3 +115,31 @@ def test_test_i2i_cli_writes_html(tmp_path):
     assert {"B.png", "A.png"} & labels or pngs, pngs
     assert any("fake_B" in p.name for p in pngs)
     assert any("rec_A" in p.name for p in pngs)
+
+
+@requires_reference
+def test_unet_generator_transplant_parity():
+    import functools
+
+    from gantrack_tpu.models.image2image import UnetGenerator
+    from gantrack_tpu.models.torch_compat import unet_generator_params_from_torch
+
+    nets = _ref_networks()
+    torch.manual_seed(2)
+    norm = functools.partial(torch.nn.InstanceNorm2d, affine=False,
+                             track_running_stats=False)
+    num_downs = 6
+    g_ref = nets.UnetGenerator(3, 3, num_downs=num_downs, ngf=8,
+                               norm_layer=norm, use_dropout=False).eval()
+    g = UnetGenerator(output_nc=3, num_downs=num_downs, ngf=8)
+    params = jax.tree.map(jnp.asarray,
+                          unet_generator_params_from_torch(g_ref, num_downs))
+
+    x = np.random.default_rng(2).standard_normal((1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = g_ref(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy()))
+    got = g.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(got), np.transpose(want.numpy(), (0, 2, 3, 1)),
+        rtol=1e-3, atol=1e-4,
+    )
