@@ -105,14 +105,18 @@ def _save_volume(path: str, vol, zooms=(1, 1, 1)):
 
 
 def step_dicom_to_nifti(source: str, dest: str) -> None:
+    """DICOM series → NIfTI (reference ``dataset_tool_mi.py:226-255``).
+
+    Uses ``dicom2nifti`` when installed; otherwise the native reader
+    (``data/preprocess/dicom.py``, uncompressed little-endian series).
+    """
     try:
         import dicom2nifti
+
+        convert = lambda pdir, out: dicom2nifti.dicom_series_to_nifti(
+            pdir, out, reorient_nifti=False)
     except ImportError:
-        raise click.ClickException(
-            "dicom2nifti is not installed in this environment; convert DICOM "
-            "series externally or install dicom2nifti (reference "
-            "dataset_tool_mi.py:226-255)."
-        )
+        from ..data.preprocess.dicom import dicom_series_to_nifti as convert
     os.makedirs(dest, exist_ok=True)
     for patient in sorted(os.listdir(source)):
         pdir = os.path.join(source, patient)
@@ -121,7 +125,7 @@ def step_dicom_to_nifti(source: str, dest: str) -> None:
         out = os.path.join(dest, f"{patient}.nii.gz")
         if os.path.exists(out):
             continue
-        dicom2nifti.dicom_series_to_nifti(pdir, out, reorient_nifti=False)
+        convert(pdir, out)
 
 
 def step_resize(source: str, dest: str, zoom: float) -> None:

@@ -92,11 +92,16 @@ def training_loop(
 
     cur_nimg = int(state.cur_nimg)  # host mirror; the loop never syncs per step
     pending_moments = []
+    images, labels = next(loader)
+    next_batch = shard_batch(mesh, (images, labels))
     while not done:
         # ------------------------------------------------ hot loop body
-        images, labels = next(loader)
-        batch = shard_batch(mesh, (images, labels))
+        batch = next_batch
         state, moments = stepper(state, batch[0], batch[1])
+        # Enqueue the next H2D while the step runs on device (the loader
+        # thread already prefetched the host copy).
+        images, labels = next(loader)
+        next_batch = shard_batch(mesh, (images, labels))
         pending_moments.append(moments)  # device arrays; fetched at tick time
 
         cur_nimg += batch_size

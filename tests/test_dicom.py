@@ -1,0 +1,107 @@
+"""Native DICOM reader: synthetic explicit/implicit-VR little-endian series
+round-trip through the dataset_tool DICOM step."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from gantrack_tpu.data.preprocess.dicom import (
+    read_dicom_file, read_dicom_series,
+)
+
+
+def _el_explicit(group, elem, vr, value: bytes) -> bytes:
+    head = struct.pack("<HH", group, elem) + vr
+    if vr in (b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN"):
+        return head + b"\x00\x00" + struct.pack("<I", len(value)) + value
+    return head + struct.pack("<H", len(value)) + value
+
+
+def _el_implicit(group, elem, value: bytes) -> bytes:
+    return struct.pack("<HH", group, elem) + struct.pack("<I", len(value)) + value
+
+
+def _pad(s: str) -> bytes:
+    b = s.encode()
+    return b + b" " if len(b) % 2 else b
+
+
+def _write_dicom(path, px: np.ndarray, z: float, instance: int,
+                 explicit: bool, slope=2.0, inter=-1024.0):
+    ts = "1.2.840.10008.1.2.1" if explicit else "1.2.840.10008.1.2"
+    meta = _el_explicit(0x0002, 0x0010, b"UI", _pad(ts))
+    rows, cols = px.shape
+    el = _el_explicit if explicit else (lambda g, e, vr, v: _el_implicit(g, e, v))
+    body = b"".join([
+        el(0x0018, 0x0050, b"DS", _pad("3.0")),
+        el(0x0020, 0x0013, b"IS", _pad(str(instance))),
+        el(0x0020, 0x0032, b"DS", _pad(f"0\\0\\{z}")),
+        el(0x0028, 0x0010, b"US", struct.pack("<H", rows)),
+        el(0x0028, 0x0011, b"US", struct.pack("<H", cols)),
+        el(0x0028, 0x0030, b"DS", _pad("0.9766\\0.9766")),
+        el(0x0028, 0x0100, b"US", struct.pack("<H", 16)),
+        el(0x0028, 0x0103, b"US", struct.pack("<H", 1)),
+        el(0x0028, 0x1052, b"DS", _pad(str(inter))),
+        el(0x0028, 0x1053, b"DS", _pad(str(slope))),
+        el(0x7FE0, 0x0010, b"OW", px.astype("<i2").tobytes()),
+    ])
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body)
+
+
+@pytest.mark.parametrize("explicit", [True, False])
+def test_read_single_file(tmp_path, explicit):
+    rng = np.random.default_rng(0)
+    px = rng.integers(-1000, 2000, (16, 12)).astype(np.int16)
+    p = str(tmp_path / "s1.dcm")
+    _write_dicom(p, px, z=12.5, instance=3, explicit=explicit)
+    d = read_dicom_file(p)
+    np.testing.assert_allclose(d["pixels"], px.astype(np.float32) * 2.0 - 1024.0)
+    assert d["position_z"] == 12.5
+    assert d["instance"] == 3
+    np.testing.assert_allclose(d["pixel_spacing"], [0.9766, 0.9766])
+
+
+def test_series_sorted_and_spaced(tmp_path):
+    rng = np.random.default_rng(1)
+    slices = [rng.integers(0, 500, (8, 8)).astype(np.int16) for _ in range(4)]
+    # write out of order; sorting is by z position
+    for i, z in enumerate([9.0, 3.0, 6.0, 0.0]):
+        _write_dicom(str(tmp_path / f"f{i}.dcm"), slices[i], z=z, instance=i,
+                     explicit=True)
+    vol, zooms = read_dicom_series(str(tmp_path))
+    assert vol.shape == (8, 8, 4)
+    order = [3, 1, 2, 0]  # by z: 0,3,6,9
+    for k, i in enumerate(order):
+        np.testing.assert_allclose(vol[:, :, k],
+                                   slices[i].astype(np.float32) * 2.0 - 1024.0)
+    np.testing.assert_allclose(zooms, (0.9766, 0.9766, 3.0))
+
+
+def test_dataset_tool_step(tmp_path):
+    from gantrack_tpu.data.preprocess.nifti import read_nifti
+    from gantrack_tpu.tools.dataset_tool import step_dicom_to_nifti
+
+    rng = np.random.default_rng(2)
+    src = tmp_path / "dicom" / "P001"
+    src.mkdir(parents=True)
+    for i in range(3):
+        _write_dicom(str(src / f"{i}.dcm"),
+                     rng.integers(0, 100, (8, 8)).astype(np.int16),
+                     z=3.0 * i, instance=i, explicit=True)
+    dest = tmp_path / "nifti"
+    step_dicom_to_nifti(str(tmp_path / "dicom"), str(dest))
+    vol, zooms = read_nifti(str(dest / "P001.nii.gz"))
+    assert vol.shape == (8, 8, 3)
+    np.testing.assert_allclose(zooms, (0.9766, 0.9766, 3.0), rtol=1e-4)
+
+
+def test_compressed_rejected(tmp_path):
+    p = str(tmp_path / "c.dcm")
+    meta = _el_explicit(0x0002, 0x0010, b"UI", _pad("1.2.840.10008.1.2.4.70"))
+    with open(p, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta)
+    with pytest.raises(ValueError, match="compressed/unsupported"):
+        read_dicom_file(p)
