@@ -38,8 +38,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TR = 16    # output rows per tile (sublane)
-TC = 128   # output cols per tile (lane)
+TR = 32    # output rows per tile (sublane; TR=32 measured ~5% faster than
+           # 16 at SG2-ADA 256² — scripts/bench_augment_tiles.py)
+TC = 128   # output cols per tile (lane; 256 measured slower)
 
 
 def _hat_rows(pos_row: jax.Array, height: int) -> jax.Array:
