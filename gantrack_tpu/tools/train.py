@@ -77,6 +77,9 @@ def parse_comma_separated_list(ctx, param, value):
 @click.option("--devices", "--gpus", "num_devices", type=click.IntRange(min=1), default=None,
               help="Number of TPU chips (default: all)")
 @click.option("--batch", type=click.IntRange(min=1), required=True, help="Total batch size")
+@click.option("--batch-gpu", type=click.IntRange(min=1), default=None,
+              help="Per-device micro-batch: gradient accumulation when smaller "
+                   "than batch/devices (reference --batch-gpu)")
 @click.option("--gamma", type=click.FloatRange(min=0), required=True, help="R1 weight")
 # Optional features.
 @click.option("--cond", type=bool, default=False)
@@ -295,8 +298,17 @@ def train(c, opts, run_dir, dataset_kwargs):
         ),
         augment_fn=augment_fn,
     )
+    micro_batches = 1
+    if opts.batch_gpu is not None:
+        local_b = opts.batch // int(mesh.devices.size)
+        if local_b % opts.batch_gpu != 0:
+            raise click.ClickException(
+                f"--batch-gpu {opts.batch_gpu} must divide the per-device "
+                f"batch {local_b} (batch {opts.batch} / {mesh.devices.size} devices)")
+        micro_batches = local_b // opts.batch_gpu
     step_cfg = TrainStepConfig(
         batch_size=opts.batch, z_dim=c.G.z_dim, c_dim=c_dim,
+        micro_batches=micro_batches,
         ema_kimg=c.ema_kimg, ema_rampup=None if opts.resume else 0.05,
         g_reg_interval=g_reg_interval, d_reg_interval=d_reg_interval,
         ada_target=ada_target,
