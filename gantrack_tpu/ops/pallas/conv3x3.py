@@ -1,12 +1,13 @@
 """Pallas TPU kernel: implicit-GEMM 3×3 stride-1 convolution (NHWC).
 
-The SG2/SG3 hot path is dominated by dense 3×3 stride-1 convolutions
-(G ``conv1`` of every block, D ``conv0``, and their autodiff
-transposes).  XLA lowers them to spatial conv fusions that run the
-256²×64-channel family at ~6-13% of MXU peak on v5e — the 64-wide
-channel dimension under-fills the 128-lane MXU and the compiler's conv
-tiling cannot recover it (measured in round 1: space-to-depth and
-XLA-level im2col are both slower; docs/ROADMAP.md).
+STATUS (round 2, measured): **parked, not wired into the models.**
+Round-1 profiling suggested the 256²×64 conv family ran at 6-13% of MXU
+peak; that turned out to be a microbench layout artifact — in-step XLA
+conv fusions run at 30-60% MXU and beat this kernel at the hot shapes
+(XLA ~32 TF/s vs ~23 TF/s, chained A/B in scripts/bench_conv3x3.py).
+The kernel is kept as a complete, exact, arbitrary-order-differentiable
+implicit-GEMM conv (tested in tests/test_conv3x3.py) and as the record
+of the Mosaic constraint set that shaped it; see docs/ROADMAP.md.
 
 Design (constraints measured on this Mosaic build, scripts/probe_mosaic.py:
 async-DMA slices need sublane extents ×8 and lane extents ×128, while
