@@ -129,9 +129,13 @@ def make_inception_detector(weights_path: Optional[str] = None, seed: int = 0) -
     from ..models import inception
 
     if weights_path and os.path.exists(weights_path):
-        model = inception.InceptionV3Features()
-        params = inception.load_npz(weights_path)
-        return Detector(model.apply, params, f"inception:{os.path.basename(weights_path)}")
+        params, variant = inception.load_npz(weights_path)
+        # "tfslim" = the TF-slim inception-2015-12-05 graph the reference's
+        # FID uses (NVIDIA TorchScript port) — the only variant whose FID is
+        # comparable to published numbers; see models/inception.py.
+        model = inception.InceptionV3Features(variant=variant)
+        return Detector(model.apply, params,
+                        f"inception-{variant}:{os.path.basename(weights_path)}")
     return make_random_projection_detector(seed=seed)
 
 
@@ -224,6 +228,12 @@ def compute_feature_stats_for_generator(
     stats = FeatureStats(capture_all=capture_all, capture_mean_cov=capture_mean_cov,
                          max_items=max_items)
     mesh = opts.mesh if (opts.mesh is not None and opts.mesh.devices.size > 1) else None
+    batch_size = opts.batch_size
+    if mesh is not None:
+        # The sharded jit needs the batch divisible by the mesh; round up
+        # (FeatureStats clamps at max_items, so overshoot is harmless).
+        ndev = int(mesh.devices.size)
+        batch_size = -(-batch_size // ndev) * ndev
 
     def postprocess_and_extract(img):
         # Reference ``(img·127.5+128).clamp(0,255)`` (``metric_utils.py:291``).
@@ -233,8 +243,6 @@ def compute_feature_stats_for_generator(
     if mesh is not None:
         # One sharded jit runs G → postprocess → detector across the mesh;
         # only the [B, D] features come back to the host.
-        assert opts.batch_size % int(mesh.devices.size) == 0, \
-            (opts.batch_size, mesh.devices.size)
         shard = NamedSharding(mesh, P(DATA_AXIS))
         rep = NamedSharding(mesh, P())
         if opts.c_dim > 0:
@@ -249,17 +257,17 @@ def compute_feature_stats_for_generator(
     rng = jax.random.PRNGKey(opts.seed)
     while not stats.is_full():
         rng, kz, kc = jax.random.split(rng, 3)
-        z = jax.random.normal(kz, (opts.batch_size, opts.z_dim))
+        z = jax.random.normal(kz, (batch_size, opts.z_dim))
         c = None
         if opts.c_dim > 0:
             if opts.dataset is not None and opts.dataset.has_labels:
                 # Empirical label distribution (reference ``:285-287``).
                 ids = np.asarray(
-                    jax.random.randint(kc, (opts.batch_size,), 0, len(opts.dataset)))
+                    jax.random.randint(kc, (batch_size,), 0, len(opts.dataset)))
                 c = jnp.asarray(np.stack([opts.dataset.get_label(int(i)) for i in ids]))
             else:
                 c = jax.nn.one_hot(
-                    jax.random.randint(kc, (opts.batch_size,), 0, opts.c_dim), opts.c_dim
+                    jax.random.randint(kc, (batch_size,), 0, opts.c_dim), opts.c_dim
                 )
         if mesh is not None:
             feats = np.asarray(feats_fn(z, c) if opts.c_dim > 0 else feats_fn(z))

@@ -57,8 +57,17 @@ _BLOCK_BRANCHES = {
 }
 
 
-def convert_inception_state_dict(sd: dict) -> dict:
-    out: dict = {}
+def convert_inception_state_dict(sd: dict, variant: str = "torchvision") -> dict:
+    """torchvision/pytorch-fid ``inception_v3`` naming → flax .npz flat dict.
+
+    Works for both graph variants — the TF-slim FID network
+    (``pt_inception-2015-12-05``, pytorch-fid's port of the NVIDIA/TF
+    graph the reference uses, ``frechet_inception_distance.py:22``) shares
+    torchvision's parameter naming; the graph differences are pooling/
+    preprocessing only (see ``models/inception.py``).  ``variant`` is
+    recorded in the npz so the loader builds the right graph.
+    """
+    out: dict = {"__variant__": np.asarray(variant)}
     for name in _TORCHVISION_TO_FLAX_INCEPTION:
         _convbn(out, name, sd, name)
     for block in ["Mixed_5b", "Mixed_5c", "Mixed_5d", "Mixed_6a", "Mixed_6b",
@@ -76,6 +85,12 @@ def convert_inception_state_dict(sd: dict) -> dict:
         for br in branches:
             if f"{block}.{br}.conv.weight" in sd:
                 _convbn(out, f"{block}/{br}", sd, f"{block}.{br}")
+    # Classifier head (1008 classes in the TF-slim graph) — optional; used
+    # by Inception Score (reference ``inception_score.py`` no_output_bias).
+    if "fc.weight" in sd:
+        out["output/kernel"] = np.transpose(_np(sd["fc.weight"]))
+        if "fc.bias" in sd:
+            out["output/bias"] = _np(sd["fc.bias"])
     return out
 
 
@@ -108,7 +123,12 @@ def convert_vgg_state_dict(sd: dict) -> dict:
 @click.command()
 @click.option("--src", required=True, help="torch state-dict / TorchScript file")
 @click.option("--dst", required=True, help="output .npz")
-@click.option("--arch", type=click.Choice(["inception", "vgg16"]), required=True)
+@click.option("--arch", type=click.Choice(["inception", "inception-tfslim", "vgg16"]),
+              required=True,
+              help="inception-tfslim = the FID-protocol network "
+                   "(pt_inception-2015-12-05 / NVIDIA TorchScript weights); "
+                   "plain inception = torchvision graph (NOT "
+                   "reference-comparable FID)")
 def main(src, dst, arch):
     import torch
 
@@ -119,7 +139,11 @@ def main(src, dst, arch):
         sd = obj["state_dict"]
     else:
         sd = obj
-    flat = convert_inception_state_dict(sd) if arch == "inception" else convert_vgg_state_dict(sd)
+    if arch == "vgg16":
+        flat = convert_vgg_state_dict(sd)
+    else:
+        variant = "tfslim" if arch == "inception-tfslim" else "torchvision"
+        flat = convert_inception_state_dict(sd, variant=variant)
     np.savez(dst, **flat)
     print(f"wrote {dst}: {len(flat)} arrays")
 

@@ -196,11 +196,170 @@ def _unflatten(flat):
         {tuple(k.split("/")): jnp.asarray(v) for k, v in flat.items()})}
 
 
+# --------------------- torch mirror of the TF-slim 2015-12-05 FID graph
+# (what NVIDIA's TorchScript detector actually computes — pool patches per
+# pytorch-fid's FIDInception*, (x−128)/128 preprocessing, TF1 legacy
+# bilinear resize; reference frechet_inception_distance.py:22)
+
+
+def _tf1_resize_torch(x, out_h, out_w):
+    """TF1 ResizeBilinear (align_corners=False, half_pixel_centers=False)
+    on NCHW tensors — independent torch implementation for the mirror."""
+    n, c, h, w = x.shape
+    if (h, w) == (out_h, out_w):
+        return x
+
+    def grid(n_in, n_out):
+        src = torch.arange(n_out, dtype=torch.float64) * (n_in / n_out)
+        lo = torch.floor(src).long()
+        hi = torch.clamp(lo + 1, max=n_in - 1)
+        frac = (src - lo.double()).float()
+        return lo, hi, frac
+
+    y0, y1, fy = grid(h, out_h)
+    x = x[:, :, y0, :] * (1 - fy)[None, None, :, None] \
+        + x[:, :, y1, :] * fy[None, None, :, None]
+    x0, x1, fx = grid(w, out_w)
+    return x[:, :, :, x0] * (1 - fx) + x[:, :, :, x1] * fx
+
+
+class FIDInceptionA(InceptionA):
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b5 = self.branch5x5_2(self.branch5x5_1(x))
+        bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        bp = self.branch_pool(
+            F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False))
+        return torch.cat([b1, b5, bd, bp], 1)
+
+
+class FIDInceptionC(InceptionC):
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+        bd = self.branch7x7dbl_5(self.branch7x7dbl_4(
+            self.branch7x7dbl_3(self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+        bp = self.branch_pool(
+            F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False))
+        return torch.cat([b1, b7, bd, bp], 1)
+
+
+class FIDInceptionE1(InceptionE):
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b3 = self.branch3x3_1(x)
+        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+        bp = self.branch_pool(
+            F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False))
+        return torch.cat([b1, b3, bd, bp], 1)
+
+
+class FIDInceptionE2(InceptionE):
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b3 = self.branch3x3_1(x)
+        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+        # The 2015-12-05 graph's Mixed_7c pool branch is a MAX pool.
+        bp = self.branch_pool(F.max_pool2d(x, 3, stride=1, padding=1))
+        return torch.cat([b1, b3, bd, bp], 1)
+
+
+class TorchInceptionTFSlim(tnn.Module):
+    """Mirror of the NVIDIA/TF-slim FID network with torchvision/pytorch-fid
+    state-dict keys (plus ``fc`` = the 1008-way head)."""
+
+    def __init__(self):
+        super().__init__()
+        self.Conv2d_1a_3x3 = BasicConv2d(3, 32, kernel_size=3, stride=2)
+        self.Conv2d_2a_3x3 = BasicConv2d(32, 32, kernel_size=3)
+        self.Conv2d_2b_3x3 = BasicConv2d(32, 64, kernel_size=3, padding=1)
+        self.Conv2d_3b_1x1 = BasicConv2d(64, 80, kernel_size=1)
+        self.Conv2d_4a_3x3 = BasicConv2d(80, 192, kernel_size=3)
+        self.Mixed_5b = FIDInceptionA(192, 32)
+        self.Mixed_5c = FIDInceptionA(256, 64)
+        self.Mixed_5d = FIDInceptionA(288, 64)
+        self.Mixed_6a = InceptionB(288)
+        self.Mixed_6b = FIDInceptionC(768, 128)
+        self.Mixed_6c = FIDInceptionC(768, 160)
+        self.Mixed_6d = FIDInceptionC(768, 160)
+        self.Mixed_6e = FIDInceptionC(768, 192)
+        self.Mixed_7a = InceptionD(768)
+        self.Mixed_7b = FIDInceptionE1(1280)
+        self.Mixed_7c = FIDInceptionE2(2048)
+        self.fc = tnn.Linear(2048, 1008)
+
+    def forward(self, x255, return_logits=False):  # NCHW in 0..255
+        x = _tf1_resize_torch(x255, 299, 299)
+        x = (x - 128.0) / 128.0
+        x = self.Conv2d_1a_3x3(x)
+        x = self.Conv2d_2a_3x3(x)
+        x = self.Conv2d_2b_3x3(x)
+        x = F.max_pool2d(x, 3, stride=2)
+        x = self.Conv2d_3b_1x1(x)
+        x = self.Conv2d_4a_3x3(x)
+        x = F.max_pool2d(x, 3, stride=2)
+        for blk in ["Mixed_5b", "Mixed_5c", "Mixed_5d", "Mixed_6a", "Mixed_6b",
+                    "Mixed_6c", "Mixed_6d", "Mixed_6e", "Mixed_7a", "Mixed_7b",
+                    "Mixed_7c"]:
+            x = getattr(self, blk)(x)
+        feats = x.mean(dim=(2, 3))
+        return self.fc(feats) if return_logits else feats
+
+
+@pytest.mark.slow
+def test_inception_tfslim_feature_parity():
+    """Our variant='tfslim' graph == the NVIDIA/TF-slim-graph torch mirror
+    after weight transplant — including the TF1 legacy resize path (64² and
+    384² inputs: upscale and the aliased downscale) and the 1008 logits."""
+    tm = TorchInceptionTFSlim().eval()
+    _randomize_bn_stats(tm, seed=3)
+    g = torch.Generator().manual_seed(4)
+    with torch.no_grad():
+        tnn.init.normal_(tm.fc.weight, std=0.01, generator=g)
+        tnn.init.normal_(tm.fc.bias, std=0.01, generator=g)
+    flat = convert_inception_state_dict(tm.state_dict(), variant="tfslim")
+    assert str(flat.pop("__variant__")) == "tfslim"
+    variables = _unflatten(flat)
+
+    from gantrack_tpu.models.inception import tf1_resize_bilinear
+
+    rng = np.random.default_rng(2)
+    for size in (64, 384):
+        x = rng.uniform(0, 255, (2, size, size, 3)).astype(np.float32)
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        # resize primitive parity first (isolates the classic FID trap)
+        want_r = _tf1_resize_torch(xt, 299, 299).numpy()
+        got_r = np.asarray(tf1_resize_bilinear(jnp.asarray(x), 299, 299))
+        np.testing.assert_allclose(
+            got_r, want_r.transpose(0, 2, 3, 1), rtol=1e-5, atol=1e-3)
+
+        with torch.no_grad():
+            want = tm(xt).numpy()
+            want_logits = tm(xt, return_logits=True).numpy()
+        model = InceptionV3Features(variant="tfslim")
+        got = np.asarray(model.apply(variables, jnp.asarray(x)))
+        assert got.shape == (2, 2048)
+        scale = np.abs(want).mean() + 1e-6
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3 * scale)
+
+        logits_model = InceptionV3Features(variant="tfslim", return_logits=True)
+        got_logits = np.asarray(logits_model.apply(variables, jnp.asarray(x)))
+        assert got_logits.shape == (2, 1008)
+        lscale = np.abs(want_logits).mean() + 1e-6
+        np.testing.assert_allclose(got_logits, want_logits,
+                                   rtol=2e-3, atol=2e-3 * lscale)
+
+
 @pytest.mark.slow
 def test_inception_feature_parity():
     tm = TorchInceptionV3().eval()
     _randomize_bn_stats(tm, seed=0)
     flat = convert_inception_state_dict(tm.state_dict())
+    flat.pop("__variant__", None)
     variables = _unflatten(flat)
 
     rng = np.random.default_rng(0)
