@@ -7,6 +7,8 @@ multi-stage pipeline (SURVEY §2.7).
 from .medical import (
     body_mask_slice,
     body_mask_volume,
+    compute_epi_mask,
+    epi_body_mask_volume,
     clip_and_rescale_volume,
     get_box,
     load_slice,
@@ -29,6 +31,8 @@ __all__ = [
     "clip_and_rescale_volume",
     "body_mask_slice",
     "body_mask_volume",
+    "compute_epi_mask",
+    "epi_body_mask_volume",
     "resample_volume",
     "holdout_split",
     "load_or_create_split",

@@ -138,9 +138,10 @@ def body_mask_slice(
     closing_iters: int = 3,
 ) -> np.ndarray:
     """Threshold + largest-connected-component + closing + fill-holes
-    body mask for one slice (the reference's generic recipe,
-    ``dataset_tool_mi.py:431-464``; the nilearn EPI-mask path for pelvis
-    is approximated by the same morphology on Otsu-thresholded CT)."""
+    body mask for one slice (the reference's generic recipe for
+    spleen/heart/kits19, ``dataset_tool_mi.py:431-464``).  The Pelvis_2.1
+    path uses the exact nilearn algorithm — see :func:`compute_epi_mask` /
+    :func:`epi_body_mask_volume`."""
     from scipy import ndimage
 
     if threshold is None:
@@ -169,6 +170,96 @@ def body_mask_volume(vol: np.ndarray, **kwargs) -> np.ndarray:
     ``find_mask_folder`` applies per-slice fill-holes,
     ``dataset_tool_mi.py:488-510``)."""
     return np.stack([body_mask_slice(vol[:, :, d], **kwargs) for d in range(vol.shape[2])], axis=2)
+
+
+def _largest_connected_component(volume: np.ndarray) -> np.ndarray:
+    """nilearn ``_utils.ndimage.largest_connected_component``: 6-connected
+    3D labeling (scipy default cross structure), biggest non-background
+    label."""
+    from scipy import ndimage
+
+    labels, label_nb = ndimage.label(volume)
+    if not label_nb:
+        raise ValueError("No non-zero values: no connected components")
+    if label_nb == 1:
+        return volume.astype(bool)
+    label_count = np.bincount(labels.ravel().astype(int))
+    label_count[0] = 0
+    return labels == label_count.argmax()
+
+
+def compute_epi_mask(
+    vol: np.ndarray,
+    lower_cutoff: float = 0.2,
+    upper_cutoff: float = 0.85,
+    connected: bool = True,
+    opening: int = 2,
+    exclude_zeros: bool = False,
+    ensure_finite: bool = True,
+) -> np.ndarray:
+    """Exact reimplementation of ``nilearn.masking.compute_epi_mask`` (the
+    reference's Pelvis_2.1 body-mask extractor, ``dataset_tool_mi.py:486``)
+    for a 3D volume, using the same numpy/scipy primitives nilearn calls:
+
+    1. FWHM-1mm gaussian pre-smooth when ``opening`` (nilearn
+       ``_compute_mean(..., smooth=(1 if opening else False))`` with
+       ``affine=np.eye(4)`` — sigma is in *voxels*, spacing-independent);
+    2. histogram-gap threshold: sort all voxels, find the largest jump
+       between the ``lower_cutoff``/``upper_cutoff`` quantile positions,
+       threshold at the midpoint of that jump;
+    3. ``mask = smoothed >= threshold``;
+    4. post-process (nilearn ``_post_process_mask``): binary erosion
+       ×opening → largest 6-connected component → dilation ×2·opening →
+       erosion ×opening (scipy default cross structures).
+    """
+    from scipy import ndimage
+
+    if vol.ndim == 4:
+        mean_epi = vol.astype(np.float64).mean(axis=-1)
+    else:
+        mean_epi = np.array(vol, dtype=np.float64, copy=True)
+    if ensure_finite:
+        mean_epi[np.logical_not(np.isfinite(mean_epi))] = 0
+    if opening:
+        # nilearn _smooth_array(fwhm=1, affine=eye(4)): per-axis
+        # gaussian_filter1d with sigma = 1 / sqrt(8·ln 2) voxels.
+        sigma = 1.0 / np.sqrt(8 * np.log(2))
+        for axis in range(3):
+            ndimage.gaussian_filter1d(mean_epi, sigma, output=mean_epi, axis=axis)
+
+    sorted_input = np.sort(np.ravel(mean_epi))
+    if exclude_zeros:
+        sorted_input = sorted_input[sorted_input != 0]
+    lo = int(np.floor(lower_cutoff * len(sorted_input)))
+    hi = min(int(np.floor(upper_cutoff * len(sorted_input))),
+             len(sorted_input) - 1)
+    delta = sorted_input[lo + 1 : hi + 1] - sorted_input[lo:hi]
+    ia = int(delta.argmax())
+    threshold = 0.5 * (sorted_input[ia + lo] + sorted_input[ia + lo + 1])
+    mask = mean_epi >= threshold
+
+    if opening:
+        opening = int(opening)
+        mask = ndimage.binary_erosion(mask, iterations=opening)
+    mask_any = mask.any()
+    if connected and mask_any:
+        mask = _largest_connected_component(mask)
+    if opening:
+        mask = ndimage.binary_dilation(mask, iterations=2 * opening)
+        mask = ndimage.binary_erosion(mask, iterations=opening)
+    return mask.astype(np.uint8)
+
+
+def epi_body_mask_volume(vol: np.ndarray) -> np.ndarray:
+    """The full Pelvis_2.1 mask recipe (``dataset_tool_mi.py:486-510``):
+    ``compute_epi_mask`` on the reference CT volume, then per-slice
+    ``binary_fill_holes``."""
+    from scipy import ndimage
+
+    m = compute_epi_mask(vol)
+    for j in range(m.shape[-1]):
+        m[:, :, j] = ndimage.binary_fill_holes(m[:, :, j]).astype(np.uint8)
+    return m
 
 
 def resample_volume(

@@ -79,7 +79,10 @@ def main(config_path, processing_step, source, dest, dataset_name, resolution,
     elif processing_step == "process_nifti_normalized":
         step_normalize(source, dest, hu_min, hu_max)
     elif processing_step == "mask_nifti":
-        step_mask(source, dest)
+        # Pelvis_2.1 uses the nilearn EPI-mask recipe; other datasets the
+        # generic threshold recipe (reference dataset_tool_mi.py:486-510).
+        step_mask(source, dest,
+                  method="epi" if dataset_name.startswith("Pelvis") else "threshold")
     elif processing_step == "snap_pickle":
         step_snap_pickle(source, dest, pop_range)
     elif processing_step == "snap_zip":
@@ -161,10 +164,15 @@ def step_normalize(source: str, dest: str, lo: float, hi: float) -> None:
         print(f"normalized {rel}")
 
 
-def step_mask(source: str, dest: str) -> None:
-    from ..data.preprocess.medical import body_mask_volume
+def step_mask(source: str, dest: str, method: str = "epi") -> None:
+    """``method="epi"``: the exact nilearn ``compute_epi_mask`` + per-slice
+    fill-holes recipe the reference applies to Pelvis_2.1
+    (``dataset_tool_mi.py:486-510``); ``"threshold"``: the generic
+    threshold/largest-CC recipe (``:431-464``)."""
+    from ..data.preprocess.medical import body_mask_volume, epi_body_mask_volume
     from ..data.preprocess.nifti import read_nifti, write_nifti
 
+    mask_fn = epi_body_mask_volume if method == "epi" else body_mask_volume
     os.makedirs(dest, exist_ok=True)
     for path in sorted(glob.glob(os.path.join(source, "**", "*.nii*"), recursive=True)):
         rel = os.path.relpath(path, source)
@@ -173,7 +181,7 @@ def step_mask(source: str, dest: str) -> None:
             continue
         os.makedirs(os.path.dirname(out), exist_ok=True)
         vol, zooms = read_nifti(path)
-        write_nifti(out, body_mask_volume(vol).astype(np.float32), zooms=zooms)
+        write_nifti(out, mask_fn(vol).astype(np.float32), zooms=zooms)
         print(f"masked {rel}")
 
 

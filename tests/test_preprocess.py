@@ -174,3 +174,93 @@ def test_resample_matches_simpleitk_if_available():
     want = np.transpose(sitk.GetArrayFromImage(res), (1, 2, 0))
     delta = np.abs(out - want).max()
     assert delta < 0.1, f"scipy respacing delta vs SimpleITK: {delta}"
+
+
+# ---------------------------------------------------------------- EPI mask
+
+
+def _epi_phantom(seed=0):
+    """Body-like phantom: bright ellipsoid on dim noisy background with a
+    dark internal cavity (tests threshold, largest-CC and fill-holes)."""
+    rng = np.random.default_rng(seed)
+    h = w = 48
+    d = 12
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    vol = rng.uniform(0, 30, (h, w, d))
+    for k in range(d):
+        body = ((ys - 24) ** 2 / 18 ** 2 + (xs - 24) ** 2 / 14 ** 2) <= 1.0
+        cavity = ((ys - 24) ** 2 + (xs - 28) ** 2) <= 9
+        sl = vol[:, :, k]
+        sl[body] = 200 + rng.uniform(0, 20, body.sum())
+        sl[cavity] = 5.0
+        # distractor blob far from the body (must be removed by largest-CC)
+        sl[2:5, 40:44] = 180.0
+    return vol
+
+
+def test_compute_epi_mask_matches_independent_algorithm():
+    """The production function against an in-test transcription of
+    nilearn's published algorithm (masking.compute_epi_mask: FWHM-1
+    presmooth, sorted-histogram gap threshold, erosion/largest-CC/
+    dilation posting) written with independent numpy code."""
+    from scipy import ndimage
+
+    from gantrack_tpu.data.preprocess.medical import compute_epi_mask
+
+    vol = _epi_phantom()
+    got = compute_epi_mask(vol)
+
+    # Independent re-derivation.
+    arr = vol.astype(np.float64).copy()
+    sigma = 1.0 / np.sqrt(8 * np.log(2))
+    smoothed = ndimage.gaussian_filter(arr, sigma=(sigma, sigma, sigma))
+    sv = np.sort(smoothed.ravel())
+    lo, hi = int(np.floor(0.2 * sv.size)), min(int(np.floor(0.85 * sv.size)), sv.size - 1)
+    gaps = sv[lo + 1 : hi + 1] - sv[lo:hi]
+    ia = int(np.argmax(gaps))
+    thr = 0.5 * (sv[ia + lo] + sv[ia + lo + 1])
+    m = smoothed >= thr
+    m = ndimage.binary_erosion(m, iterations=2)
+    lab, n = ndimage.label(m)
+    if n > 1:
+        counts = np.bincount(lab.ravel()); counts[0] = 0
+        m = lab == counts.argmax()
+    m = ndimage.binary_dilation(m, iterations=4)
+    m = ndimage.binary_erosion(m, iterations=2)
+
+    np.testing.assert_array_equal(got, m.astype(np.uint8))
+    # Geometry: body kept, distractor & background dropped.
+    assert got[24, 24, 6] == 1
+    assert got[3, 42, 6] == 0
+    assert got[0, 0, 6] == 0
+
+
+def test_epi_body_mask_volume_fills_cavity():
+    from gantrack_tpu.data.preprocess.medical import (
+        compute_epi_mask, epi_body_mask_volume,
+    )
+
+    vol = _epi_phantom()
+    raw = compute_epi_mask(vol)
+    filled = epi_body_mask_volume(vol)
+    # The dark cavity inside the body survives fill-holes only.
+    assert raw[24, 28, 6] == 0
+    assert filled[24, 28, 6] == 1
+    assert filled.dtype == np.uint8
+    assert (filled >= raw).all()
+
+
+def test_compute_epi_mask_matches_nilearn_bit_exact():
+    """Bit-exact against real nilearn when it is installed (skipped in the
+    offline image; the algorithms call the same scipy primitives)."""
+    nilearn = pytest.importorskip("nilearn")
+    import nibabel as nib
+    from nilearn.masking import compute_epi_mask as nl_epi
+
+    from gantrack_tpu.data.preprocess.medical import compute_epi_mask
+
+    vol = _epi_phantom(seed=3)
+    img = nib.Nifti1Image(vol, affine=np.eye(4))
+    want = np.asarray(nl_epi(img).get_fdata()).astype(np.uint8)
+    got = compute_epi_mask(vol)
+    np.testing.assert_array_equal(got, want)
