@@ -295,7 +295,12 @@ def projection_loop(
             continue
         image, _, fname = dataset[idx]
         patient, slice_id = _split_ids(str(fname), idx)
-        target = np.asarray(image, np.float32)  # [H, W, C] in [-1, 1]
+        # GANDataset.__getitem__ yields raw dynamic-range pixels (0..255 floats
+        # or uint8, like the reference dataset); the training loader applies
+        # /127.5-1 separately (loader.py), so normalize here before projecting
+        # (reference projection_loop.py feeds 0..255 into a projector that
+        # rescales internally).
+        target = np.asarray(image, np.float32) / 127.5 - 1.0  # [H, W, C] -> [-1, 1]
         if verbose:
             print(f"Patient: {patient}  slice: {slice_id}")
         if patient == current_patient and w_init is not None:

@@ -136,8 +136,13 @@ def test_projection_loop_artifacts(tmp_path):
     img = np.clip(np.asarray(
         g.apply(v, jax.random.normal(jax.random.PRNGKey(3), (1, 8)), None,
                 noise_mode="const")[0]), -1, 1).astype(np.float32)
+    # Real GANDataset implementations return raw 0..255 pixels (loader
+    # normalizes separately) — feed that convention so the loop's own
+    # normalization is exercised, not a pre-normalized stub.
+    img255 = ((img + 1) * 127.5).astype(np.float32)
     ds = _StubDataset([
-        (img, "pA_00001.tif"), (img, "pA_00002.tif"), (img, "pB_00001.tif"),
+        (img255, "pA_00001.tif"), (img255, "pA_00002.tif"),
+        (img255, "pB_00001.tif"),
     ])
     cfg = ProjectorConfig(num_steps=4, w_avg_samples=64, optimize_noise=False)
     out = projection_loop(
@@ -150,8 +155,18 @@ def test_projection_loop_artifacts(tmp_path):
     assert npzs, "per-slice w npz missing"
     w = np.load(npzs[0])["w"]
     assert w.shape[1:] == (g.num_ws if hasattr(g, "num_ws") else 4, 8) or w.ndim == 3
-    assert list((tmp_path / "pA" / "M0" / "image_log").glob("*.png"))
+    pngs = list((tmp_path / "pA" / "M0" / "image_log").glob("*.png"))
+    assert pngs
     assert list((tmp_path / "pA" / "loss").glob("opt_loss_*.csv"))
+    # Regression: 0..255 inputs must be normalized before projection — the
+    # written target half (left) of the pair must match the source pixels,
+    # not a saturated all-white plane.
+    import PIL.Image
+    pair = np.asarray(PIL.Image.open(pngs[0]))
+    target_half = pair[:, : pair.shape[1] // 2]
+    np.testing.assert_allclose(target_half.astype(np.float32),
+                               np.round(img255[..., 0]), atol=1.0)
+    assert target_half.mean() < 250, "target half saturated: 0..255 input not normalized"
 
 
 def test_lpips_features_distance_properties():
