@@ -42,10 +42,24 @@ class StyleGAN2LossConfig:
     pl_decay: float = 0.01
     blur_init_sigma: float = 0.0
     blur_fade_kimg: float = 0.0
+    noise_mode: str = "random"   # synthesis noise; "const" for the
+    #   mesh-size-invariance tests (per-layer random noise is drawn with
+    #   batch-shaped keys and cannot be made device-count independent)
 
 
 # augment_fn(images, p, rng) -> images
 AugmentFn = Callable[[jax.Array, jax.Array, jax.Array], jax.Array]
+
+
+def per_sample_normal(key, sample_idx, shape_tail, dtype=jnp.float32):
+    """Draw one normal of shape ``shape_tail`` per sample, keyed by the
+    sample's *global* index — mesh-size-independent randomness used by the
+    ``rng_mode='global_sample'`` invariance tests (replaces the
+    reference's ``check_ddp_consistency``, ``torch_utils/misc.py:180-191``,
+    with a numeric 1-dev == N-dev equality check)."""
+    return jax.vmap(
+        lambda i: jax.random.normal(jax.random.fold_in(key, i), shape_tail, dtype)
+    )(sample_idx)
 
 
 class StyleGAN2Loss:
@@ -84,7 +98,7 @@ class StyleGAN2Loss:
     def _synthesis(self, vars_g, ws, rng, update_emas: bool = False):
         """Returns (img, mutated_emas_or_None)."""
         out = self.G.apply(
-            vars_g, ws, noise_mode="random", update_emas=update_emas,
+            vars_g, ws, noise_mode=self.cfg.noise_mode, update_emas=update_emas,
             method=lambda m, ws, **kw: m.synthesis(ws, **kw),
             rngs={"noise": rng},
             mutable=["emas"] if update_emas else False,
@@ -95,7 +109,7 @@ class StyleGAN2Loss:
         return out, None
 
     def run_G(
-        self, vars_g, z, c, rng, update_emas: bool = False
+        self, vars_g, z, c, rng, update_emas: bool = False, sample_idx=None
     ) -> Tuple[jax.Array, jax.Array, Optional[Dict]]:
         """mapping → style mixing → synthesis (reference ``loss.py:43-51``).
 
@@ -117,7 +131,10 @@ class StyleGAN2Loss:
             cutoff = jnp.where(
                 jax.random.uniform(k_mix) < self.cfg.style_mixing_prob, cutoff, num_ws
             )
-            z2 = jax.random.normal(k_z2, z.shape, z.dtype)
+            if sample_idx is None:
+                z2 = jax.random.normal(k_z2, z.shape, z.dtype)
+            else:
+                z2 = per_sample_normal(k_z2, sample_idx, z.shape[1:], z.dtype)
             ws2, _ = self._mapping(vars_g, z2, c)
             mask = (jnp.arange(num_ws)[None, :, None] >= cutoff)
             ws = jnp.where(mask, ws2, ws)
@@ -161,12 +178,13 @@ class StyleGAN2Loss:
     # -------------------------------------------------------------- phases
 
     def gmain(
-        self, params_g, extras_g, vars_d, z, c, rng, ada_p, cur_nimg
+        self, params_g, extras_g, vars_d, z, c, rng, ada_p, cur_nimg,
+        sample_idx=None,
     ) -> Tuple[jax.Array, stats.Moments]:
         """Non-saturating generator loss (reference ``loss.py:73-82``)."""
         vars_g = {"params": params_g, **extras_g}
         k_g, k_d = jax.random.split(rng)
-        img, _ws, _wmean = self.run_G(vars_g, z, c, k_g)
+        img, _ws, _wmean = self.run_G(vars_g, z, c, k_g, sample_idx=sample_idx)
         logits = self.run_D(vars_d, img, c, k_d, self.blur_sigma(cur_nimg), ada_p)
         loss = jax.nn.softplus(-logits)
         m: stats.Moments = {}
@@ -176,17 +194,25 @@ class StyleGAN2Loss:
         return jnp.mean(loss), m
 
     def gpl(
-        self, params_g, extras_g, z, c, rng, pl_mean
+        self, params_g, extras_g, z, c, rng, pl_mean, sample_idx=None,
+        batch_mean_fn=jnp.mean,
     ) -> Tuple[jax.Array, Tuple[jax.Array, stats.Moments]]:
         """Path-length regularisation (reference ``loss.py:85-100``).
 
         Returns (loss, (new_pl_mean, moments)).  The caller multiplies by
-        the lazy-reg gain.
+        the lazy-reg gain.  ``batch_mean_fn`` reduces ``pl_lengths`` to the
+        batch mean for the pl_mean lerp — the stepper passes a pmean'd
+        global mean so the tracked statistic (and hence the penalty) is
+        identical on every shard.  (The reference's per-rank ``pl_mean``
+        buffers drift independently, ``loss.py:87``/``misc.py``; using the
+        global batch mean removes that device-count dependence.)
         """
         vars_g = {"params": params_g, **extras_g}
         bsz = z.shape[0] // self.cfg.pl_batch_shrink
         z = z[:bsz]
         c = c[:bsz] if c is not None else None
+        if sample_idx is not None:
+            sample_idx = sample_idx[:bsz]
         k_g, k_noise, k_syn = jax.random.split(rng, 3)
 
         # ws via mapping + mixing (no EMA update in the PL pass).
@@ -198,19 +224,25 @@ class StyleGAN2Loss:
             cutoff = jnp.where(
                 jax.random.uniform(k_mix) < self.cfg.style_mixing_prob, cutoff, num_ws
             )
-            ws2, _ = self._mapping(vars_g, jax.random.normal(k_z2, z.shape, z.dtype), c)
+            if sample_idx is None:
+                z2 = jax.random.normal(k_z2, z.shape, z.dtype)
+            else:
+                z2 = per_sample_normal(k_z2, sample_idx, z.shape[1:], z.dtype)
+            ws2, _ = self._mapping(vars_g, z2, c)
             ws = jnp.where(jnp.arange(num_ws)[None, :, None] >= cutoff, ws2, ws)
 
         def img_dot_noise(ws_in, key):
             img, _ = self._synthesis(vars_g, ws_in, key)
-            pl_noise = jax.random.normal(k_noise, img.shape) / np.sqrt(
-                img.shape[1] * img.shape[2]
-            )
+            if sample_idx is None:
+                pl_noise = jax.random.normal(k_noise, img.shape)
+            else:
+                pl_noise = per_sample_normal(k_noise, sample_idx, img.shape[1:])
+            pl_noise = pl_noise / np.sqrt(img.shape[1] * img.shape[2])
             return jnp.sum(img * pl_noise)
 
         pl_grads = jax.grad(img_dot_noise)(ws, k_syn)  # [N, num_ws, w_dim]
         pl_lengths = jnp.sqrt(jnp.mean(jnp.sum(jnp.square(pl_grads), axis=2), axis=1))
-        new_pl_mean = pl_mean + self.cfg.pl_decay * (jnp.mean(pl_lengths) - pl_mean)
+        new_pl_mean = pl_mean + self.cfg.pl_decay * (batch_mean_fn(pl_lengths) - pl_mean)
         new_pl_mean = jax.lax.stop_gradient(new_pl_mean)
         pl_penalty = jnp.square(pl_lengths - new_pl_mean)
         loss = pl_penalty * self.cfg.pl_weight
@@ -220,7 +252,8 @@ class StyleGAN2Loss:
         return jnp.mean(loss), (new_pl_mean, m)
 
     def dmain(
-        self, params_d, vars_g, z, c, real_img, real_c, rng, ada_p, cur_nimg
+        self, params_d, vars_g, z, c, real_img, real_c, rng, ada_p, cur_nimg,
+        sample_idx=None,
     ) -> Tuple[jax.Array, Tuple[Dict, stats.Moments]]:
         """Discriminator main loss (reference ``loss.py:103-127``).
 
@@ -232,7 +265,8 @@ class StyleGAN2Loss:
         vars_d = {"params": params_d}
         bs = self.blur_sigma(cur_nimg)
 
-        gen_img, _ws, new_emas = self.run_G(vars_g, z, c, k_g, update_emas=True)
+        gen_img, _ws, new_emas = self.run_G(vars_g, z, c, k_g, update_emas=True,
+                                            sample_idx=sample_idx)
         gen_img = jax.lax.stop_gradient(gen_img)
 
         # One blur+augment invocation over the concatenated fake∥real batch

@@ -54,6 +54,15 @@ class TrainStepConfig:
     #   local batch is processed in this many lax.scan chunks per phase;
     #   per-chunk mean-grads are SUMMED, matching the reference's
     #   accumulate-then-all_reduce semantics, training_loop:333-351)
+    rng_mode: str = "device"          # "device": per-device RNG streams
+    #   (production; reference seed*num_gpus+rank). "global_sample": phase
+    #   keys identical on every device and all batch-shaped draws folded by
+    #   GLOBAL sample index, so a 1-device and an N-device run of the same
+    #   global batch produce bit-comparable updates — the numeric
+    #   mesh-size-invariance check replacing the reference's
+    #   check_ddp_consistency (torch_utils/misc.py:180-191).  Requires
+    #   noise_mode="const", no augment, matching micro_batches, and
+    #   pl_batch_shrink=1 (see tests/test_train_step.py).
 
 
 def _scrub(grads):
@@ -158,7 +167,14 @@ class TrainStepper:
         local_b = real_img.shape[0]
 
         rng_step = jax.random.fold_in(state.rng, state.step)
-        rng_dev = jax.random.fold_in(rng_step, self._axis_index())
+        if cfg.rng_mode == "global_sample":
+            # Same phase keys everywhere; per-sample draws keyed by global
+            # sample index (mesh-size invariant — see TrainStepConfig).
+            rng_dev = rng_step
+            sample_idx = self._axis_index() * local_b + jnp.arange(local_b)
+        else:
+            rng_dev = jax.random.fold_in(rng_step, self._axis_index())
+            sample_idx = None
         k = jax.random.split(rng_dev, 8)
 
         extras_g = {"emas": state.emas_g, **state.consts_g}
@@ -168,17 +184,31 @@ class TrainStepper:
         cur_nimg = state.cur_nimg.astype(jnp.float32)
 
         def sample_zc(key):
-            z = jax.random.normal(key, (local_b, cfg.z_dim), jnp.float32)
+            if sample_idx is not None:
+                from .loss import per_sample_normal
+                z = per_sample_normal(key, sample_idx, (cfg.z_dim,))
+            else:
+                z = jax.random.normal(key, (local_b, cfg.z_dim), jnp.float32)
             if cfg.c_dim > 0:
                 kc = jax.random.fold_in(key, 1)
                 if self.label_bank is not None:
                     # Dataset empirical label distribution (reference
                     # training_loop:319-321) — skewed datasets train
                     # identically to the reference.
-                    c = sample_gen_labels(kc, self.label_bank, local_b)
+                    if sample_idx is not None:
+                        ids = jax.vmap(lambda i: jax.random.randint(
+                            jax.random.fold_in(kc, i), (), 0,
+                            self.label_bank.shape[0]))(sample_idx)
+                        c = self.label_bank[ids]
+                    else:
+                        c = sample_gen_labels(kc, self.label_bank, local_b)
                 else:
                     # No bank supplied: uniform one-hot fallback.
-                    idx = jax.random.randint(kc, (local_b,), 0, cfg.c_dim)
+                    if sample_idx is not None:
+                        idx = jax.vmap(lambda i: jax.random.randint(
+                            jax.random.fold_in(kc, i), (), 0, cfg.c_dim))(sample_idx)
+                    else:
+                        idx = jax.random.randint(kc, (local_b,), 0, cfg.c_dim)
                     c = jax.nn.one_hot(idx, cfg.c_dim)
             else:
                 c = None
@@ -190,7 +220,7 @@ class TrainStepper:
         if M == 1:
             (loss_g, m_g), grads = jax.value_and_grad(loss.gmain, has_aux=True)(
                 params_g, extras_g, {"params": params_d}, z, gen_c, k[1],
-                state.ada_p, cur_nimg,
+                state.ada_p, cur_nimg, sample_idx,
             )
         else:
             def gmain_chunk(p, carry, zc, cc, key):
@@ -218,7 +248,13 @@ class TrainStepper:
             z, gen_c = sample_zc(k[2])
             if M == 1:
                 def gpl_scaled(p):
-                    l, aux = loss.gpl(p, extras_g, z, gen_c, k[3], pl_mean)
+                    # pl_mean lerps toward the GLOBAL batch mean (pmean'd),
+                    # so the tracked stat — and the penalty derived from it
+                    # — is shard-identical (mesh-size invariant; the
+                    # reference's per-rank buffers drift instead).
+                    l, aux = loss.gpl(
+                        p, extras_g, z, gen_c, k[3], pl_mean, sample_idx,
+                        batch_mean_fn=lambda x: self._pmean(jnp.mean(x)))
                     return l * gain, aux
 
                 (_, (new_pl_mean, m_pl)), grads = jax.value_and_grad(
@@ -229,7 +265,9 @@ class TrainStepper:
                     c_arg = cc if cfg.c_dim > 0 else None
 
                     def scaled(pp):
-                        l, aux = loss.gpl(pp, extras_g, zc, c_arg, key, pl_carry)
+                        l, aux = loss.gpl(
+                            pp, extras_g, zc, c_arg, key, pl_carry,
+                            batch_mean_fn=lambda x: self._pmean(jnp.mean(x)))
                         return l * gain, aux
 
                     (_, (new_pl, m)), g = jax.value_and_grad(scaled, has_aux=True)(p)
@@ -253,7 +291,8 @@ class TrainStepper:
             vars_g = {"params": params_g, **state.consts_g, "emas": state.emas_g}
             (loss_d, (new_emas, m_d)), grads = jax.value_and_grad(
                 loss.dmain, has_aux=True
-            )(params_d, vars_g, z, gen_c, real_img, real_c, k[5], state.ada_p, cur_nimg)
+            )(params_d, vars_g, z, gen_c, real_img, real_c, k[5], state.ada_p,
+              cur_nimg, sample_idx)
         else:
             def dmain_chunk(p, emas_carry, zc, cc, ri, rc, key):
                 c_arg = cc if cfg.c_dim > 0 else None

@@ -94,28 +94,112 @@ def test_ada_controller_updates_p():
     assert all(p >= 0 for p in ps)
 
 
-def test_mesh_size_invariance():
-    """1-device and 4-device runs produce identical parameter updates
-    given identical global RNG and data — psum correctness (replaces
-    reference check_ddp_consistency)."""
+def _setup_invariance(num_devices, batch=8, c_dim=0, label_bank=None):
+    """Stepper in ``rng_mode='global_sample'``: per-sample draws keyed by
+    global sample index, synthesis noise const, pl_batch_shrink=1 — the
+    only remaining mesh-size dependence is the collectives themselves."""
+    import optax
+
+    g = Generator(
+        z_dim=ZDIM, c_dim=c_dim, w_dim=ZDIM, img_resolution=RES, img_channels=1,
+        mapping_kwargs=dict(num_layers=2),
+        synthesis_kwargs=dict(channel_base=128, channel_max=32, num_fp16_res=0),
+    )
+    d = Discriminator(
+        c_dim=c_dim, img_resolution=RES, img_channels=1,
+        channel_base=128, channel_max=32, num_fp16_res=0,
+        # mbstd groups are *local-batch* strided in the reference
+        # (networks_stylegan2.py:644-668 — groups never cross GPUs), so the
+        # feature is inherently mesh-size dependent; invariance is only
+        # defined with it off.
+        epilogue_kwargs=dict(mbstd_group_size=2, mbstd_num_channels=0),
+    )
+    # SGD keeps updates linear in the pmean'd grads, so a missing/incorrect
+    # collective shows up at tight tolerance (Adam's rsqrt normalisation
+    # would amplify fp noise near zero-gradient elements into sign flips).
+    opt_g = optax.sgd(0.01)
+    opt_d = optax.sgd(0.01)
+    state = create_train_state(
+        g, d, jax.random.PRNGKey(0), opt_g, opt_d,
+        z_dim=ZDIM, c_dim=c_dim, img_resolution=RES, img_channels=1,
+    )
+    loss = StyleGAN2Loss(g, d, StyleGAN2LossConfig(
+        r1_gamma=1.0, pl_weight=2.0, pl_batch_shrink=1, noise_mode="const"))
+    cfg = TrainStepConfig(batch_size=batch, z_dim=ZDIM, c_dim=c_dim,
+                          ada_target=0.6, rng_mode="global_sample")
+    mesh = create_mesh(num_devices)
+    stepper = TrainStepper(loss, opt_g, opt_d, cfg, mesh,
+                           label_bank=label_bank)
+    return state, stepper, mesh
+
+
+@pytest.mark.parametrize("do_gpl,do_dr1",
+                         [(False, False), (True, False), (False, True),
+                          (True, True)])
+def test_mesh_size_invariance(do_gpl, do_dr1):
+    """1-device and 4-device runs of the SAME global batch produce
+    numerically equal updates for every phase variant — real psum/pmean
+    correctness (replaces reference check_ddp_consistency,
+    ``torch_utils/misc.py:180-191``).  A pmean that sums without dividing,
+    or a dropped reduction on grads / pl_mean / emas / ADA moments, fails
+    the allclose below (per-device data and per-sample RNG genuinely
+    differ across shards)."""
     batch = 8
     img = _fake_batch(batch)
+    zc = jnp.zeros((batch, 0), jnp.float32)
 
     results = []
     for n_dev in (1, 4):
-        state, stepper, mesh = _setup(num_devices=n_dev, batch=batch)
+        state, stepper, mesh = _setup_invariance(num_devices=n_dev, batch=batch)
         sharded = shard_batch(mesh, jnp.asarray(img))
-        state, _ = stepper(state, sharded)
-        results.append(jax.tree.map(np.asarray, jax.device_get(state.params_g)))
+        new_state, moments = stepper.get(do_gpl, do_dr1)(state, sharded, zc)
+        results.append((
+            jax.tree.map(np.asarray, jax.device_get(
+                (new_state.params_g, new_state.params_d,
+                 new_state.params_g_ema, new_state.emas_g))),
+            float(new_state.pl_mean), float(new_state.ada_p),
+            np.asarray(new_state.ada_signs),
+            {k: np.asarray(v) for k, v in moments.items()},
+        ))
 
-    flat0 = jax.tree.leaves(results[0])
-    flat1 = jax.tree.leaves(results[1])
-    # Identical init (same PRNGKey) but different per-device RNG folds mean
-    # z/noise differ → updates are NOT bitwise equal; but optimizer state
-    # shapes/structure and parameter scales must agree.
-    for a, b in zip(flat0, flat1):
-        assert a.shape == b.shape
-        assert np.all(np.isfinite(a)) and np.all(np.isfinite(b))
+    (trees0, pl0, ada0, signs0, m0), (trees1, pl1, ada1, signs1, m1) = results
+    # Tolerance: a wrong collective (psum without /n, dropped pmean) gives
+    # O(1) relative error; fp32 reassociation between "one 8-sample mean"
+    # and "pmean of four 2-sample means" gives ≤1e-5 abs — amplified
+    # through the double-backprop PL phase.  2e-5/5e-3 cleanly separates
+    # the two regimes.
+    for a, b in zip(jax.tree.leaves(trees0), jax.tree.leaves(trees1)):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=2e-5)
+    np.testing.assert_allclose(pl0, pl1, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(ada0, ada1, rtol=0, atol=0)
+    np.testing.assert_allclose(signs0, signs1, rtol=1e-6, atol=1e-6)
+    # psum'd training-stats moments (n, Σ, Σ²) must also agree globally.
+    assert set(m0) == set(m1)
+    for name in m0:
+        np.testing.assert_allclose(m0[name], m1[name], rtol=1e-4, atol=1e-5,
+                                   err_msg=name)
+
+
+def test_mesh_size_invariance_conditional():
+    """Same check through the conditional path (label bank sampling)."""
+    batch = 8
+    img = _fake_batch(batch)
+    bank = jnp.asarray(np.eye(3, dtype=np.float32)[[0, 0, 1, 2, 2, 2]])
+    real_c = jnp.asarray(np.eye(3, dtype=np.float32)[
+        np.random.default_rng(1).integers(0, 3, batch)])
+
+    results = []
+    for n_dev in (1, 4):
+        state, stepper, mesh = _setup_invariance(
+            num_devices=n_dev, batch=batch, c_dim=3, label_bank=bank)
+        sharded = shard_batch(mesh, jnp.asarray(img))
+        c_sh = shard_batch(mesh, real_c)
+        new_state, _ = stepper.get(False, False)(state, sharded, c_sh)
+        results.append(jax.tree.map(np.asarray, jax.device_get(
+            (new_state.params_g, new_state.params_d))))
+
+    for a, b in zip(jax.tree.leaves(results[0]), jax.tree.leaves(results[1])):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-6)
 
 
 def test_w_avg_and_pl_mean_evolve():
