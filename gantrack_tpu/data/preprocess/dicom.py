@@ -32,6 +32,7 @@ _TAGS = {
     (0x0018, 0x0088): "spacing_between_slices",
     (0x0020, 0x0013): "instance_number",
     (0x0020, 0x0032): "image_position",
+    (0x0020, 0x0037): "image_orientation",
     (0x0028, 0x0010): "rows",
     (0x0028, 0x0011): "cols",
     (0x0028, 0x0030): "pixel_spacing",
@@ -136,6 +137,9 @@ def read_dicom_file(path: str) -> Dict[str, object]:
     pixels = px.astype(np.float32) * slope + inter
 
     pos = _floats(tags["image_position"]) if "image_position" in tags else [0.0, 0.0, 0.0]
+    pos = (pos + [0.0, 0.0, 0.0])[:3]
+    orient = (_floats(tags["image_orientation"])
+              if "image_orientation" in tags else [1, 0, 0, 0, 1, 0])
     spacing = _floats(tags["pixel_spacing"]) if "pixel_spacing" in tags else [1.0, 1.0]
     z_sp = None
     for key in ("spacing_between_slices", "slice_thickness"):
@@ -144,7 +148,9 @@ def read_dicom_file(path: str) -> Dict[str, object]:
             break
     return {
         "pixels": pixels,
-        "position_z": pos[2] if len(pos) >= 3 else 0.0,
+        "position": pos,
+        "position_z": pos[2],
+        "orientation": orient,
         "instance": (_uint(tags["instance_number"], text=True)
                      if "instance_number" in tags else 0),
         "pixel_spacing": spacing,
@@ -159,16 +165,36 @@ def read_dicom_series(directory: str) -> Tuple[np.ndarray, Tuple[float, float, f
         os.path.join(directory, f) for f in os.listdir(directory)
         if not f.startswith(".") and os.path.isfile(os.path.join(directory, f))
     )
-    slices = [read_dicom_file(p) for p in files]
+    # Stray non-DICOM files (DICOMDIR, README, .txt) are common in exported
+    # series — skip anything without the part-10 magic instead of aborting.
+    slices = []
+    for p in files:
+        with open(p, "rb") as f:
+            head = f.read(132)
+        if len(head) < 132 or head[128:132] != b"DICM":
+            continue
+        slices.append(read_dicom_file(p))
     if not slices:
         raise ValueError(f"no DICOM files under {directory}")
-    slices.sort(key=lambda s: (s["position_z"], s["instance"]))
+    # Sort along the slice NORMAL (row_dir × col_dir from
+    # ImageOrientationPatient), like dicom2nifti's common.sort_dicoms —
+    # raw z ordering is wrong for coronal/sagittal series and instance
+    # numbers can run opposite to geometry.
+    o = slices[0]["orientation"]
+    normal = np.cross(o[0:3], o[3:6]).astype(np.float64)
+    for s in slices:
+        s["_proj"] = float(np.dot(s["position"], normal))
+    slices.sort(key=lambda s: (s["_proj"], s["instance"]))
     vol = np.stack([s["pixels"] for s in slices], axis=2)
     sy, sx = slices[0]["pixel_spacing"]
     sz = slices[0]["slice_spacing"]
-    if sz is None:
-        zs = [s["position_z"] for s in slices]
-        sz = float(np.median(np.diff(zs))) if len(zs) > 1 else 1.0
+    projs = [s["_proj"] for s in slices]
+    if len(projs) > 1:
+        # Geometric spacing beats the SliceThickness tag (dicom2nifti uses
+        # inter-slice distance; gaps/overlap make the tag unreliable).
+        sz = float(np.median(np.diff(projs)))
+    elif sz is None:
+        sz = 1.0
     return vol, (float(sy), float(sx), float(abs(sz) or 1.0))
 
 

@@ -105,3 +105,70 @@ def test_compressed_rejected(tmp_path):
         f.write(b"\x00" * 128 + b"DICM" + meta)
     with pytest.raises(ValueError, match="compressed/unsupported"):
         read_dicom_file(p)
+
+
+def _write_dicom_oriented(path, px, pos, orient, instance, thickness="5.0"):
+    """Explicit-VR file with full ImagePositionPatient / OrientationPatient."""
+    meta = _el_explicit(0x0002, 0x0010, b"UI", _pad("1.2.840.10008.1.2.1"))
+    rows, cols = px.shape
+    body = b"".join([
+        _el_explicit(0x0018, 0x0050, b"DS", _pad(thickness)),
+        _el_explicit(0x0020, 0x0013, b"IS", _pad(str(instance))),
+        _el_explicit(0x0020, 0x0032, b"DS",
+                     _pad("\\".join(str(v) for v in pos))),
+        _el_explicit(0x0020, 0x0037, b"DS",
+                     _pad("\\".join(str(v) for v in orient))),
+        _el_explicit(0x0028, 0x0010, b"US", struct.pack("<H", rows)),
+        _el_explicit(0x0028, 0x0011, b"US", struct.pack("<H", cols)),
+        _el_explicit(0x0028, 0x0030, b"DS", _pad("1.0\\1.0")),
+        _el_explicit(0x0028, 0x0100, b"US", struct.pack("<H", 16)),
+        _el_explicit(0x0028, 0x0103, b"US", struct.pack("<H", 1)),
+        _el_explicit(0x7FE0, 0x0010, b"OW", px.astype("<i2").tobytes()),
+    ])
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body)
+
+
+def test_series_sorts_along_slice_normal_coronal(tmp_path):
+    """Coronal series: slices must be ordered by the projection of
+    ImagePositionPatient onto the slice normal row_dir x col_dir — like
+    dicom2nifti's sort — NOT by the (constant) z component.  Hand-computed
+    geometry: orientation (1,0,0),(0,0,-1) -> normal = (0,1,0), so the
+    sort key is patient-y, ascending."""
+    slices = [np.full((4, 4), i * 10, np.int16) for i in range(3)]
+    ys = [0.0, 4.0, 8.0]  # patient-y of slice i; written out of order
+    for k, i in enumerate([1, 2, 0]):
+        _write_dicom_oriented(
+            str(tmp_path / f"f{k}.dcm"), slices[i],
+            pos=(0.0, ys[i], 50.0), orient=(1, 0, 0, 0, 0, -1), instance=k)
+    vol, zooms = read_dicom_series(str(tmp_path))
+    for k in range(3):  # sorted by ascending y == original slice index
+        np.testing.assert_allclose(vol[:, :, k],
+                                   np.full((4, 4), k * 10, np.float32))
+    # spacing from inter-slice geometry (4.0), not SliceThickness (5.0)
+    np.testing.assert_allclose(zooms[2], 4.0)
+
+
+def test_series_skips_stray_files(tmp_path):
+    """DICOMDIR/README junk in a series directory is skipped, not fatal."""
+    rng = np.random.default_rng(3)
+    for i in range(2):
+        _write_dicom(str(tmp_path / f"f{i}.dcm"),
+                     rng.integers(0, 100, (4, 4)).astype(np.int16),
+                     z=2.0 * i, instance=i, explicit=True)
+    (tmp_path / "README.txt").write_text("not dicom")
+    (tmp_path / "DICOMDIR").write_bytes(b"\x00" * 200)
+    vol, _ = read_dicom_series(str(tmp_path))
+    assert vol.shape == (4, 4, 2)
+
+
+def test_series_geometric_spacing_beats_tag(tmp_path):
+    """Inter-slice distance 2.5 with SliceThickness=3.0: dicom2nifti uses
+    the geometry; so do we."""
+    rng = np.random.default_rng(4)
+    for i in range(3):
+        _write_dicom(str(tmp_path / f"f{i}.dcm"),
+                     rng.integers(0, 100, (4, 4)).astype(np.int16),
+                     z=2.5 * i, instance=i, explicit=True)
+    _, zooms = read_dicom_series(str(tmp_path))
+    np.testing.assert_allclose(zooms[2], 2.5)
