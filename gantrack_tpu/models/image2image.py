@@ -233,3 +233,43 @@ def gan_loss(prediction: jax.Array, target_is_real: bool, mode: str = "lsgan") -
 
 def optax_sigmoid_bce(logits, labels):
     return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def gradient_penalty(
+    d_apply,
+    params_d,
+    real: jax.Array,
+    fake: jax.Array,
+    rng: jax.Array = None,
+    type: str = "mixed",
+    constant: float = 1.0,
+    lambda_gp: float = 10.0,
+) -> jax.Array:
+    """WGAN-GP gradient penalty (reference ``cal_gradient_penalty``,
+    ``networks.py:278-312``): penalise ``(‖∇_x D(x̂)‖₂ − constant)²`` at
+    ``x̂`` = real / fake / a per-sample random mix.  ``d_apply(params, x)``
+    is the discriminator forward; differentiable wrt ``params_d`` for use
+    inside a D loss (double backprop, native ``jax.grad``-in-``jax.grad``
+    — the reference relies on ``torch.autograd.grad(create_graph=True)``).
+    """
+    if lambda_gp <= 0.0:
+        return jnp.asarray(0.0)
+    if type == "real":
+        x_hat = real
+    elif type == "fake":
+        x_hat = fake
+    elif type == "mixed":
+        alpha = jax.random.uniform(rng, (real.shape[0],) + (1,) * (real.ndim - 1))
+        x_hat = alpha * real + (1.0 - alpha) * fake
+    else:
+        raise NotImplementedError(type)
+
+    def d_sum(x):
+        return jnp.sum(d_apply(params_d, x))
+
+    grads = jax.grad(d_sum)(x_hat)
+    grads = grads.reshape(real.shape[0], -1)
+    # reference adds 1e-16 to the gradients before the norm (eps for a
+    # differentiable sqrt at exactly zero)
+    norm = jnp.linalg.norm(grads + 1e-16, axis=1)
+    return jnp.mean(jnp.square(norm - constant)) * lambda_gp

@@ -230,6 +230,8 @@ class Pix2PixConfig:
     lr_policy: str = "linear"
     n_epochs: int = 100
     n_epochs_decay: int = 100
+    no_dropout: bool = False   # reference --no_dropout (pix2pix defaults to
+    #   dropout ON; turn off for deterministic curve comparisons)
 
 
 class Pix2PixTrainer:
@@ -237,7 +239,9 @@ class Pix2PixTrainer:
 
     def __init__(self, cfg: Pix2PixConfig, image_size: int = 256, iters_per_epoch: int = 1000):
         self.cfg = cfg
-        self.g = define_G(cfg.output_nc, cfg.ngf, cfg.netG, use_dropout=True)
+        self.use_dropout = not cfg.no_dropout
+        self.g = define_G(cfg.output_nc, cfg.ngf, cfg.netG,
+                          use_dropout=self.use_dropout)
         self.d = define_D(cfg.ndf, cfg.netD)
         sched = make_lr_schedule(cfg.lr_policy, cfg.lr, cfg.n_epochs, cfg.n_epochs_decay,
                                  iters_per_epoch)
@@ -259,20 +263,17 @@ class Pix2PixTrainer:
         )
 
     def _step_impl(self, state: Pix2PixState, real_a, real_b, rng):
+        """One optimisation iteration, reference ``pix2pix_model.py``
+        ``optimize_parameters`` ORDER: forward with the current G, update D
+        against the detached fake, then update G against the *updated* D
+        (the reference calls backward_G after optimizer_D.step())."""
         cfg = self.cfg
 
-        def g_loss(pg):
-            fake_b = self.g.apply({"params": pg}, real_a, deterministic=False,
-                                  rngs={"dropout": rng})
-            pred = self.d.apply({"params": state.params_d},
-                                jnp.concatenate([real_a, fake_b], axis=-1))
-            loss = gan_loss(pred, True, cfg.gan_mode)
-            loss += jnp.mean(jnp.abs(fake_b - real_b)) * cfg.lambda_l1
-            return loss, fake_b
+        def g_forward(pg):
+            return self.g.apply({"params": pg}, real_a, deterministic=not self.use_dropout,
+                                rngs={"dropout": rng})
 
-        (lg, fake_b), grads = jax.value_and_grad(g_loss, has_aux=True)(state.params_g)
-        up_g, opt_g = self.opt_g.update(grads, state.opt_g, state.params_g)
-        params_g = optax.apply_updates(state.params_g, up_g)
+        fake_b = g_forward(state.params_g)
 
         def d_loss(pd):
             fake_ab = jnp.concatenate([real_a, jax.lax.stop_gradient(fake_b)], axis=-1)
@@ -283,6 +284,18 @@ class Pix2PixTrainer:
         ld, grads_d = jax.value_and_grad(d_loss)(state.params_d)
         up_d, opt_d = self.opt_d.update(grads_d, state.opt_d, state.params_d)
         params_d = optax.apply_updates(state.params_d, up_d)
+
+        def g_loss(pg):
+            fake = g_forward(pg)   # same dropout key as the D-phase forward
+            pred = self.d.apply({"params": params_d},
+                                jnp.concatenate([real_a, fake], axis=-1))
+            loss = gan_loss(pred, True, cfg.gan_mode)
+            loss += jnp.mean(jnp.abs(fake - real_b)) * cfg.lambda_l1
+            return loss
+
+        lg, grads = jax.value_and_grad(g_loss)(state.params_g)
+        up_g, opt_g = self.opt_g.update(grads, state.opt_g, state.params_g)
+        params_g = optax.apply_updates(state.params_g, up_g)
 
         return state.replace(
             step=state.step + 1, params_g=params_g, params_d=params_d,
