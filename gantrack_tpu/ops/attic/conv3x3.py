@@ -243,7 +243,13 @@ def _wgrad_kernel(x_hbm, g_ref, out_ref, xwin, sems, *, th, wf, cc, cco):
 def _conv3x3_call(x: jax.Array, w: jax.Array, interpret: bool = False) -> jax.Array:
     n, h, width, ci = x.shape
     co = w.shape[-1]
-    f, th, wf, wfp, cc, cco = _geometry(x.shape, co, x.dtype)
+    geo = _geometry(x.shape, co, x.dtype)
+    if geo is None:
+        raise ValueError(
+            f"conv3x3 unsupported for x.shape={x.shape}, co={co}, "
+            f"dtype={x.dtype}: no width fold / tile height fits the VMEM "
+            "budget (check supported() before calling, or use lax.conv)")
+    f, th, wf, wfp, cc, cco = geo
     xf = _fold_x(x, f, wfp)
     wff = _fold_weights(w, f).astype(x.dtype).reshape(9, cc, cco)
     kernel = functools.partial(_fwd_kernel, th=th, wf=wf, cc=cc, cco=cco)
@@ -272,7 +278,12 @@ def _conv3x3_call(x: jax.Array, w: jax.Array, interpret: bool = False) -> jax.Ar
 def _wgrad_call(x: jax.Array, g: jax.Array, interpret: bool = False) -> jax.Array:
     n, h, width, ci = x.shape
     co = g.shape[-1]
-    f, th, wf, wfp, cc, cco = _geometry(x.shape, co, x.dtype)
+    geo = _geometry(x.shape, co, x.dtype)
+    if geo is None:
+        raise ValueError(
+            f"conv3x3 wgrad unsupported for x.shape={x.shape}, co={co}, "
+            f"dtype={x.dtype} (check supported() before calling)")
+    f, th, wf, wfp, cc, cco = geo
     xf = _fold_x(x, f, wfp)
     gf = _fold_g(g, f)
     kernel = functools.partial(_wgrad_kernel, th=th, wf=wf, cc=cc, cco=cco)

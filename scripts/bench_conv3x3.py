@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gantrack_tpu.ops.pallas.conv3x3 import conv3x3, supported
+from gantrack_tpu.ops.attic.conv3x3 import conv3x3, supported
 
 K = 32
 

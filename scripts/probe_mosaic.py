@@ -1,7 +1,7 @@
 """Probe what Mosaic accepts on this runtime, for the conv3x3 redesign.
 
 Each probe is a tiny pallas_call compiled on the real TPU; failures print
-the first line of the Mosaic error. Findings drive ops/pallas/conv3x3.py.
+the first line of the Mosaic error. Findings drive ops/attic/conv3x3.py.
 """
 import functools
 import jax

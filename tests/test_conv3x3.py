@@ -11,7 +11,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from gantrack_tpu.ops.pallas.conv3x3 import conv3x3, wgrad3x3, supported
+from gantrack_tpu.ops.attic.conv3x3 import conv3x3, wgrad3x3, supported
 
 
 def _ref(x, w):

@@ -5,7 +5,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from gantrack_tpu.ops.space_to_depth import (
+from gantrack_tpu.ops.attic.space_to_depth import (
     conv3x3_s2d,
     depth_to_space,
     s2d_kernel,
