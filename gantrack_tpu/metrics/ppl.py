@@ -39,6 +39,43 @@ def compute_ppl(
 ) -> float:
     assert space in ("z", "w") and sampling in ("full", "end")
     assert opts.generator is not None and opts.detector is not None
+
+    def prep(img):
+        # Traced: crop (reference PPLSampler:73-75), 0..255, 3-channel.
+        if crop:
+            cc = img.shape[1] // 8
+            img = img[:, cc * 3 : cc * 7, cc * 2 : cc * 6]
+        img = jnp.clip(img * 127.5 + 128, 0, 255)
+        return to_detector_input(img, opts.mode_idx)
+
+    # The whole pair — latents → images → detector features → distance —
+    # runs in ONE jit; only [b] distances return to host (bouncing both
+    # rendered images through host numpy costs ~100 ms/pair-batch on the
+    # tunneled runtime).
+    @jax.jit
+    def pair_dists(z0, z1, t):
+        if space == "z":
+            img0 = opts.generator(slerp(z0, z1, t), None)
+            img1 = opts.generator(slerp(z0, z1, t + epsilon), None)
+        else:
+            # lerp in w through synthesis only (reference PPLSampler:54-57:
+            # w0/w1 = mapping(z0/z1); wt = lerp(w0, w1, t | t+eps)).
+            w0 = opts.mapping(z0, None)
+            w1 = opts.mapping(z1, None)
+            tt = t[:, :, None] if w0.ndim == 3 else t
+            img0 = opts.synthesis(w0 + (w1 - w0) * tt)
+            img1 = opts.synthesis(w0 + (w1 - w0) * (tt + epsilon))
+        f0 = opts.detector.device_features(prep(img0))
+        f1 = opts.detector.device_features(prep(img1))
+        return jnp.sum(jnp.square(f0 - f1), axis=-1) / epsilon**2
+
+    if space == "w" and (opts.mapping is None or opts.synthesis is None):
+        raise ValueError(
+            "space='w' PPL requires MetricOptions.mapping and .synthesis "
+            "(ws-capable generator); refusing to fall back to z-space "
+            "silently"
+        )
+
     rng = jax.random.PRNGKey(opts.seed)
     dists = []
     done = 0
@@ -49,39 +86,7 @@ def compute_ppl(
         z1 = jax.random.normal(k1, (b, opts.z_dim))
         t = (jax.random.uniform(kt, (b, 1)) if sampling == "full"
              else jnp.zeros((b, 1)))
-        if space == "z":
-            zt0 = slerp(z0, z1, t)
-            zt1 = slerp(z0, z1, t + epsilon)
-            img0 = opts.generator(zt0, None)
-            img1 = opts.generator(zt1, None)
-        else:
-            # lerp in w through synthesis only (reference PPLSampler:54-57:
-            # w0/w1 = mapping(z0/z1); wt = lerp(w0, w1, t | t+eps)).
-            if opts.mapping is None or opts.synthesis is None:
-                raise ValueError(
-                    "space='w' PPL requires MetricOptions.mapping and "
-                    ".synthesis (ws-capable generator); refusing to fall "
-                    "back to z-space silently"
-                )
-            w0 = opts.mapping(z0, None)
-            w1 = opts.mapping(z1, None)
-            tt = t[:, :, None] if w0.ndim == 3 else t
-            img0 = opts.synthesis(w0 + (w1 - w0) * tt)
-            img1 = opts.synthesis(w0 + (w1 - w0) * (tt + epsilon))
-
-        def prep(img):
-            img = np.asarray(img, np.float32)
-            if crop:
-                # Reference crop (PPLSampler:73-75): rows 3c..7c, cols 2c..6c.
-                cc = img.shape[1] // 8
-                img = img[:, cc * 3 : cc * 7, cc * 2 : cc * 6]
-            img = np.clip(img * 127.5 + 128, 0, 255)
-            return to_detector_input(img, opts.mode_idx)
-
-        f0 = opts.detector(prep(img0))
-        f1 = opts.detector(prep(img1))
-        d = np.sum(np.square(f0 - f1), axis=-1) / epsilon**2
-        dists.append(d)
+        dists.append(np.asarray(pair_dists(z0, z1, t)))
         done += b
 
     dist = np.concatenate(dists)

@@ -48,7 +48,7 @@ def _opts(tmp_path=None, seed=0, gen_shift=0.0):
 
     def generator(z, c):
         # fake generator: random [-1,1] images derived from z
-        key = jax.random.PRNGKey(int(jnp.sum(jnp.abs(z) * 100)) % (2**31))
+        key = jax.random.PRNGKey(jnp.sum(jnp.abs(z) * 100).astype(jnp.uint32))
         return jax.random.uniform(key, (z.shape[0], 16, 16, 1)) * 2 - 1 + gen_shift
 
     return MetricOptions(
@@ -188,7 +188,7 @@ def test_ppl_w_space_lerps_through_synthesis():
     def synthesis(ws):
         calls["syn"] += 1
         w = ws[:, 0]
-        key = jax.random.PRNGKey(int(jnp.sum(jnp.abs(w) * 100)) % (2**31))
+        key = jax.random.PRNGKey(jnp.sum(jnp.abs(w) * 100).astype(jnp.uint32))
         return jax.random.uniform(key, (ws.shape[0], 16, 16, 1)) * 2 - 1
 
     opts.mapping = mapping
