@@ -51,6 +51,19 @@ class MetricOptions:
     mesh: Optional[Mesh] = None   # shard extraction over these devices
 
 
+def auto_metric_batch(resolution: int, floor: int = 32, cap: int = 256) -> int:
+    """Feature-extraction batch for a given image resolution.
+
+    Large batches amortise per-dispatch latency (~33 ms on the tunneled
+    runtime; at batch 64 that alone is ~29% of a fid50k pass) and keep
+    the G->detector pipeline MXU-bound — measured 552 -> 798 imgs/s going
+    64 -> 256 at 256².  Halve per resolution doubling so the rendered
+    [B, H, W, C] batch stays bounded at high resolutions.
+    """
+    b = (256 * 256 * 256) // max(resolution * resolution, 1)
+    return int(min(cap, max(floor, b)))
+
+
 class Detector:
     """A jitted feature extractor: float images 0..255 NHWC(3) → [N, D].
 

@@ -29,7 +29,8 @@ import click
 @click.option("--cbase", type=int, default=32768)
 @click.option("--cmax", type=int, default=512)
 @click.option("--map-depth", type=int, default=None)
-@click.option("--batch", type=int, default=64)
+@click.option("--batch", type=int, default=None,
+              help="Extraction batch (default: resolution-scaled, 256 at <=256²)")
 @click.option("--cond", type=bool, default=False,
               help="Conditional checkpoint: rebuild G with the dataset's label_dim")
 def main(checkpoint, metrics, data, split, modalities, mirror, detector_weights,
@@ -102,6 +103,10 @@ def main(checkpoint, metrics, data, split, modalities, mirror, detector_weights,
     mesh = create_mesh()
     if mesh.devices.size > 1:
         print(f"Sharding metric extraction over {mesh.devices.size} devices")
+    if batch is None:
+        from ..metrics.metric_utils import auto_metric_batch
+
+        batch = auto_metric_batch(dataset.resolution)
     detector = make_inception_detector(detector_weights)
     modes = (
         [(None, None)] if dataset.num_channels != 2

@@ -204,6 +204,7 @@ def train(c, opts, run_dir, dataset_kwargs):
     from ..training.augment import AugmentConfig, AugmentPipe
     from ..training.loop import training_loop
     from ..metrics import MetricOptions, calc_metric, make_inception_detector, report_metric
+    from ..metrics.metric_utils import auto_metric_batch
     from ..utils.checkpoint import latest_checkpoint, load_checkpoint
     import optax
 
@@ -381,7 +382,8 @@ def train(c, opts, run_dir, dataset_kwargs):
                 mapping=lambda z, cl: map_fn(z, cl),
                 synthesis=lambda ws: syn_fn(ws),
                 z_dim=c.G.z_dim, c_dim=c_dim, dataset=dataset, detector=detector,
-                mode_idx=mode_idx, batch_size=64,
+                mode_idx=mode_idx,
+                batch_size=auto_metric_batch(c.G.img_resolution),
                 cache_dir=os.path.join(run_dir, "metric-cache") if opts.metrics_cache else None,
                 mesh=mesh if mesh.devices.size > 1 else None,
             )

@@ -9,7 +9,7 @@ metric_utils.py) on the flagship SG2 256^2 claro config with the standard
 random-projection fallback detector, then reports overhead vs measured
 training throughput.
 
-usage: python scripts/metric_overhead.py [num_gen] [s_per_kimg]
+usage: python scripts/metric_overhead.py [num_gen] [s_per_kimg] [batch]
 """
 
 import sys
@@ -24,6 +24,7 @@ import jax
 def main():
     num_gen = int(sys.argv[1]) if len(sys.argv) > 1 else 50000
     s_per_kimg = float(sys.argv[2]) if len(sys.argv) > 2 else 6.58  # BENCH_r02
+    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 64
     import jax.numpy as jnp
 
     from gantrack_tpu.metrics.metric_utils import (
@@ -48,7 +49,7 @@ def main():
 
     detector = make_inception_detector(None)
     opts = MetricOptions(generator=gen, z_dim=zdim, c_dim=0,
-                        detector=detector, batch_size=64)
+                        detector=detector, batch_size=batch)
 
     # Warm-up: compile G+detector pipeline out of the timed window.
     t0 = time.time()
