@@ -17,3 +17,34 @@ Layout conventions
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compilation_cache() -> None:
+    """Point JAX at an on-disk executable cache (XLA compiles of the full
+    train step take ~15 min through the remote TPU compiler; a warm cache
+    turns process startup into seconds).  Opt out / relocate with
+    ``GANTRACK_JAX_CACHE=off`` / ``=<dir>``."""
+    import os
+
+    loc = os.environ.get("GANTRACK_JAX_CACHE", "")
+    if loc.lower() in ("off", "0", "none"):
+        return
+    # CPU programs compile in seconds and XLA:CPU AOT reloads are pinned
+    # to exact machine features (cross-host cache hits warn/SIGILL) — the
+    # cache only pays on the remote TPU compiler, so gate it to TPU runs.
+    if not loc and "tpu" not in os.environ.get("JAX_PLATFORMS", "tpu") \
+            and "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            loc or os.path.expanduser("~/.cache/gantrack_jax"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_persistent_compilation_cache()

@@ -95,6 +95,13 @@ def conv2d_resample(
         py0 += (fh - down + 1) // 2
         py1 += (fh - down) // 2
 
+    # NOTE (measured, round 3): folding the FIR into the dense kernel
+    # (corr(corr(x,F),W) == corr(x, F*W), one (kh+fh-1)² MXU conv, see
+    # ``_compose_kernel``) was built and benchmarked — it LOSES on TPU
+    # (FF step 193 → 231 ms): the true-depthwise FIR is cheap VPU work,
+    # while the composed kernel multiplies the *dense* conv FLOPs by
+    # ((kh+fh-1)/kh)² ≈ 4.  The chained formulation below stands.
+
     # 1x1 kernel + downsample only: resample first, convolve at low res.
     if kw == 1 and kh == 1 and down > 1 and up == 1:
         x = upfirdn2d(x, f, down=down, padding=[px0, px1, py0, py1], flip_filter=flip_filter)

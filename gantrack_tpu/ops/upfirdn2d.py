@@ -75,25 +75,34 @@ def setup_filter(
     ``None``→identity impulse; 1-D inputs become separable iff >= 8 taps
     (else outer-product to 2-D); DC-normalise; optional flip; scale by
     ``gain ** (ndim / 2)``.  Returns float32.
+
+    Computed in **numpy** on purpose: the result stays a *concrete*
+    constant even when called inside a traced function (flax modules
+    build their resample filter per call), which is what lets
+    :func:`upfirdn2d` choose the banded-matmul MXU lowering.  A traced
+    (jnp) computation here would yield a Tracer and silently force the
+    depthwise-conv fallback everywhere in the networks.
     """
     if f is None:
         f = 1
-    f = jnp.asarray(f, dtype=jnp.float32)
+    if isinstance(f, jax.core.Tracer):
+        raise TypeError("setup_filter requires concrete taps, got a tracer")
+    f = np.asarray(f, dtype=np.float64)
     assert f.ndim in (0, 1, 2)
     assert f.size > 0
     if f.ndim == 0:
-        f = f[jnp.newaxis]
+        f = f[np.newaxis]
     if separable is None:
         separable = f.ndim == 1 and f.size >= 8
     if f.ndim == 1 and not separable:
-        f = jnp.outer(f, f)
+        f = np.outer(f, f)
     assert f.ndim == (1 if separable else 2)
     if normalize:
-        f = f / jnp.sum(f)
+        f = f / np.sum(f)
     if flip_filter:
-        f = jnp.flip(f, axis=tuple(range(f.ndim)))
+        f = np.flip(f, axis=tuple(range(f.ndim)))
     f = f * (gain ** (f.ndim / 2))
-    return f
+    return f.astype(np.float32)
 
 
 def _depthwise_conv(
@@ -142,6 +151,7 @@ def upfirdn2d(
     padding: IntOrPair = 0,
     flip_filter: bool = False,
     gain: float = 1,
+    impl: str = "auto",
 ) -> jax.Array:
     """Pad, upsample, FIR-filter, and downsample a batch of NHWC images.
 
@@ -154,6 +164,10 @@ def upfirdn2d(
             upsampled image; negative values crop.
         flip_filter: False = convolution, True = correlation.
         gain: overall magnitude scaling.
+        impl: "auto" picks the banded-matmul (MXU) lowering whenever the
+            filter is a *concrete* separable (1-D or rank-1 2-D) array —
+            true for every `setup_filter` product in the networks and the
+            ADA pipeline; "conv"/"matrix" force a lowering (tests).
 
     Returns:
         ``[N, out_h, out_w, C]`` where
@@ -173,16 +187,47 @@ def upfirdn2d(
         f"upsampled buffer {upH}x{upW} smaller than filter {tuple(f.shape)}"
     )
 
-    # Overall gain, then flip for true convolution (XLA conv is cross-corr).
-    f = f * (gain ** (f.ndim / 2))
-    f = f.astype(x.dtype)
-    if not flip_filter:
-        f = jnp.flip(f, axis=tuple(range(f.ndim)))
+    # MXU lowering for *few-channel* images: lower statically-known
+    # separable filters to banded matmuls (see ``_upfirdn2d_matrix``;
+    # measured ~8 ms/step off the ADA geometric FIR at 256² C=1, where
+    # the NHWC→planes reshape moves no data).  Gated to C<=4 because at
+    # model widths (C=64..512) the plane transpose is a full relayout and
+    # measurably *loses* to the conv form (268 vs 193 ms/step FF) — wide
+    # FIRs adjacent to a dense conv are instead composed into its kernel
+    # (``conv2d_resample``).
+    if (impl == "matrix" or (impl == "auto" and x.shape[3] <= 4)) \
+            and f.size > 1 and not isinstance(f, jax.core.Tracer):
+        fc = np.asarray(f, np.float32)
+        if fc.ndim == 1:
+            taps = tuple(fc.tolist())
+            taps_yx = (taps, taps)
+        else:
+            taps_yx = _rank1_taps(fc.tobytes(), fc.shape)
+        if taps_yx is not None:
+            return _upfirdn2d_matrix(
+                x, taps_yx[0], taps_yx[1], (upx, upy), (downx, downy),
+                (padx0, padx1, pady0, pady1), flip_filter, gain, 0.5)
+    assert impl != "matrix", "matrix impl requires a concrete separable filter"
 
-    # lhs_dilation produces (H-1)*up+1 samples; the reference zero-insert
-    # keeps up-1 trailing zeros (H*up samples), so fold them into the high
-    # padding to reproduce identical output geometry.
-    if f.ndim == 2:
+    # NOTE (measured, round 3): decomposing a rank-1 2-D filter into two
+    # 1-D depthwise passes (half the taps) LOSES on TPU (FF step 185 →
+    # 208 ms): the FIR is HBM-bandwidth-bound, and two passes cost two
+    # full-tensor round-trips vs one for the single 2-D conv.  Keep one
+    # pass for 2-D filters; 1-D (>=8-tap) filters keep the two-pass form
+    # (4x fewer MACs there outweighs the extra pass at 12+ taps).
+    fy = fx = None
+    if f.ndim == 1:
+        fy = fx = jnp.asarray(f)
+
+    # Overall gain, then flip for true convolution (XLA conv is cross-corr).
+    if fy is None:
+        f = f * (gain ** (f.ndim / 2))
+        f = jnp.asarray(f).astype(x.dtype)
+        if not flip_filter:
+            f = jnp.flip(f, axis=tuple(range(f.ndim)))
+        # lhs_dilation produces (H-1)*up+1 samples; the reference
+        # zero-insert keeps up-1 trailing zeros (H*up samples), so fold
+        # them into the high padding for identical output geometry.
         return _depthwise_conv(
             x, f,
             strides=(downy, downx),
@@ -190,14 +235,20 @@ def upfirdn2d(
             lhs_dilation=(upy, upx),
         )
     # Separable: vertical pass then horizontal pass, each fused into one conv.
+    ga = gain ** 0.5
+    fy = (fy * ga).astype(x.dtype)
+    fx = (fx * ga).astype(x.dtype)
+    if not flip_filter:
+        fy = jnp.flip(fy, axis=0)
+        fx = jnp.flip(fx, axis=0)
     x = _depthwise_conv(
-        x, f[:, None],
+        x, fy[:, None],
         strides=(downy, 1),
         padding=((pady0, pady1 + upy - 1), (0, 0)),
         lhs_dilation=(upy, 1),
     )
     x = _depthwise_conv(
-        x, f[None, :],
+        x, fx[None, :],
         strides=(1, downx),
         padding=((0, 0), (padx0, padx1 + upx - 1)),
         lhs_dilation=(1, upx),
@@ -245,6 +296,125 @@ def upsample2d(
         py1 + (fh - upy) // 2,
     ]
     return upfirdn2d(x, f, up=up, padding=p, flip_filter=flip_filter, gain=gain * upx * upy)
+
+
+@functools.lru_cache(maxsize=64)
+def _fir1d_matrix(
+    taps: Tuple[float, ...], n_out: int, n_in: int, up: int, down: int,
+    p0: int, flip_filter: bool, gain_axis: float,
+) -> np.ndarray:
+    """Static banded ``[n_out, n_in]`` operator of one separable upfirdn
+    axis pass: ``out[v] = Σ_k F[k] · u[v·down + k − p0]`` where ``u`` is
+    the zero-inserted (×``up``) input and ``F`` the (possibly flipped)
+    gain-scaled taps — exactly the cross-correlation the depthwise-conv
+    lowering performs."""
+    f = np.asarray(taps, np.float64) * gain_axis
+    if not flip_filter:
+        f = f[::-1]
+    d = np.zeros((n_out, n_in), np.float32)
+    for v in range(n_out):
+        for m in range(n_in):
+            k = m * up - v * down + p0
+            if 0 <= k < len(f):
+                d[v, m] += f[k]
+    return d
+
+
+@functools.lru_cache(maxsize=16)
+def _rank1_taps(
+    fbytes: bytes, shape: Tuple[int, ...]
+) -> Optional[Tuple[Tuple[float, ...], Tuple[float, ...]]]:
+    """(taps_y, taps_x) if the concrete 2-D filter is rank-1 (separable as
+    an outer product, e.g. every ``setup_filter([1,3,3,1])``), else None."""
+    f = np.frombuffer(fbytes, np.float32).reshape(shape).astype(np.float64)
+    u, s, vt = np.linalg.svd(f)
+    if s[0] == 0 or (len(s) > 1 and s[1] > 1e-6 * s[0]):
+        return None
+    ty = u[:, 0] * np.sqrt(s[0])
+    tx = vt[0] * np.sqrt(s[0])
+    # Fold the SVD's sign ambiguity into a canonical form (DC-positive
+    # when possible) — only the outer product matters numerically.
+    if ty.sum() < 0 and tx.sum() < 0:
+        ty, tx = -ty, -tx
+    return tuple(ty.tolist()), tuple(tx.tolist())
+
+
+def _upfirdn2d_matrix(
+    x: jax.Array,
+    taps_y: Sequence[float],
+    taps_x: Sequence[float],
+    up: Tuple[int, int],
+    down: Tuple[int, int],
+    padding: Tuple[int, int, int, int],
+    flip_filter: bool,
+    gain: float,
+    gain_split: float,
+) -> jax.Array:
+    """:func:`upfirdn2d` for a separable filter, lowered as two static
+    banded matmuls ``out = Dy @ x @ Dxᵀ`` per ``[H, W]`` plane.
+
+    Same numerics contract as the depthwise-conv lowering (tested equal).
+    On TPU the banded matmuls run dense on the MXU, while the depthwise
+    conv (``feature_group_count=C``) cannot use the MXU at all — the FIR
+    resamples inside the networks' ``conv2d_resample`` and the ADA
+    geometric pipeline are the measured ~20+ ms/step cost this removes.
+    The adjoint is just the transposed matmuls, so the backward pays no
+    relayout transposes either (another measured ~7 ms in the ADA FIR).
+
+    ``gain_split`` is the per-axis exponent share of ``gain`` (0.5 when
+    the caller's gain contract is overall, matching ``f.ndim``-based
+    scaling in :func:`upfirdn2d`).
+    """
+    n, h, w, c = x.shape
+    upx, upy = up
+    downx, downy = down
+    px0, px1, py0, py1 = padding
+    out_h = (h * upy + py0 + py1 - len(taps_y)) // downy + 1
+    out_w = (w * upx + px0 + px1 - len(taps_x)) // downx + 1
+    assert out_h > 0 and out_w > 0, (x.shape, up, down, padding)
+    ga = float(gain) ** gain_split
+    dy = jnp.asarray(_fir1d_matrix(tuple(taps_y), out_h, h, upy, downy, py0,
+                                   flip_filter, ga))
+    dxt = jnp.asarray(_fir1d_matrix(tuple(taps_x), out_w, w, upx, downx, px0,
+                                    flip_filter, ga)).T
+    planes = jnp.transpose(x, (0, 3, 1, 2)).reshape(n * c, h, w)
+    # One bf16 MXU pass with f32 accumulation; pin precision so an ambient
+    # ``default_matmul_precision('highest')`` context can't force a
+    # multi-pass split (bf16 inputs are already exact).
+    rows = jax.lax.dot_general(
+        planes, dy.astype(x.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )  # [P, w, out_h]
+    out = jax.lax.dot_general(
+        rows.astype(x.dtype), dxt.astype(x.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ).astype(x.dtype)  # [P, out_h, out_w]
+    return jnp.transpose(out.reshape(n, c, out_h, out_w), (0, 2, 3, 1))
+
+
+def downsample2d_matrix(
+    x: jax.Array,
+    taps: Sequence[float],
+    down: int = 2,
+    padding: int = 0,
+    flip_filter: bool = False,
+    gain: float = 1,
+) -> jax.Array:
+    """:func:`downsample2d` with explicit separable taps via the banded
+    matmul lowering (see :func:`_upfirdn2d_matrix`)."""
+    assert x.ndim == 4, f"expected NHWC, got shape {x.shape}"
+    fw = len(taps)
+    px0, px1, py0, py1 = _parse_padding(padding)
+    p = (
+        px0 + (fw - down + 1) // 2,
+        px1 + (fw - down) // 2,
+        py0 + (fw - down + 1) // 2,
+        py1 + (fw - down) // 2,
+    )
+    return _upfirdn2d_matrix(
+        x, taps, taps, (1, 1), (down, down), p, flip_filter, gain, 0.5)
 
 
 def downsample2d(

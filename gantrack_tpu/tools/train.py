@@ -26,10 +26,13 @@ import numpy as np
 def build_generator_from_cfg(cfg: str, *, resolution: int, channels: int, c_dim: int,
                              cbase: int = 32768, cmax: int = 512,
                              map_depth: Optional[int] = None, fp32: bool = False,
-                             z_dim: int = 512, w_dim: int = 512):
+                             z_dim: int = 512, w_dim: int = 512,
+                             num_fp16_res: int = 4):
     """Shared G constructor for train/gen/metric tools (reference config
     branching, ``train_mi_multimodal.py:288-306``)."""
     map_depth = map_depth or (8 if cfg == "stylegan2" else 2)
+    if fp32:
+        num_fp16_res = 0
     if cfg == "stylegan2":
         from ..models.stylegan2 import Generator
 
@@ -39,7 +42,7 @@ def build_generator_from_cfg(cfg: str, *, resolution: int, channels: int, c_dim:
             mapping_kwargs=dict(num_layers=map_depth),
             synthesis_kwargs=dict(
                 channel_base=cbase, channel_max=cmax,
-                num_fp16_res=0 if fp32 else 4,
+                num_fp16_res=num_fp16_res,
             ),
         )
     from ..models.stylegan3 import Generator as SG3Generator
@@ -51,7 +54,7 @@ def build_generator_from_cfg(cfg: str, *, resolution: int, channels: int, c_dim:
         channel_base=cbase * mult, channel_max=cmax * mult,
         conv_kernel=1 if cfg == "stylegan3-r" else 3,
         use_radial_filters=(cfg == "stylegan3-r"),
-        num_fp16_res=0 if fp32 else 4,
+        num_fp16_res=num_fp16_res,
         mapping_kwargs=dict(num_layers=map_depth),
     )
 
@@ -116,6 +119,11 @@ def parse_comma_separated_list(ctx, param, value):
 @click.option("--rng-impl", type=click.Choice(["rbg", "threefry"]), default="rbg",
               help="PRNG backend for the train step (rbg = hardware bit-gen)")
 @click.option("--fp32", type=bool, default=False, help="Disable bf16 mixed precision")
+@click.option("--num-fp16-res", type=click.IntRange(min=0), default=4,
+              help="How many top resolutions run in bf16 (reference "
+                   "num_fp16_res default 4; 8 = full-bf16 network, a TPU "
+                   "throughput option — bf16 keeps f32 exponent range so "
+                   "the reference's fp16 range concerns don't apply)")
 @click.option("-n", "--dry-run", is_flag=True)
 def main(**opts):
     """Train StyleGAN2-ADA / StyleGAN3 on a TPU mesh."""
@@ -161,12 +169,12 @@ def main(**opts):
     c.G = EasyDict(
         z_dim=512, w_dim=512,
         channel_base=opts.cbase, channel_max=opts.cmax,
-        num_fp16_res=0 if opts.fp32 else 4,
+        num_fp16_res=0 if opts.fp32 else opts.num_fp16_res,
         map_depth=opts.map_depth or (8 if opts.cfg == "stylegan2" else 2),
     )
     c.D = EasyDict(
         channel_base=opts.cbase, channel_max=opts.cmax,
-        num_fp16_res=0 if opts.fp32 else 4,
+        num_fp16_res=0 if opts.fp32 else opts.num_fp16_res,
         mbstd_group=opts.mbstd_group, freezed=opts.freezed,
     )
     c.glr = opts.glr if opts.glr is not None else (0.002 if opts.cfg == "stylegan2" else 0.0025)
@@ -221,7 +229,7 @@ def train(c, opts, run_dir, dataset_kwargs):
     g = build_generator_from_cfg(
         opts.cfg, resolution=res, channels=channels, c_dim=c_dim,
         cbase=c.G.channel_base, cmax=c.G.channel_max,
-        map_depth=c.G.map_depth, fp32=(c.G.num_fp16_res == 0),
+        map_depth=c.G.map_depth, num_fp16_res=c.G.num_fp16_res,
         z_dim=c.G.z_dim, w_dim=c.G.w_dim,
     )
     d = Discriminator(
@@ -383,7 +391,7 @@ def train(c, opts, run_dir, dataset_kwargs):
                 synthesis=lambda ws: syn_fn(ws),
                 z_dim=c.G.z_dim, c_dim=c_dim, dataset=dataset, detector=detector,
                 mode_idx=mode_idx,
-                batch_size=auto_metric_batch(c.G.img_resolution),
+                batch_size=auto_metric_batch(res),
                 cache_dir=os.path.join(run_dir, "metric-cache") if opts.metrics_cache else None,
                 mesh=mesh if mesh.devices.size > 1 else None,
             )

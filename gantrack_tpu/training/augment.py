@@ -522,7 +522,11 @@ class AugmentPipe:
                 grid = jnp.einsum("nij,hwj->nhwi", G_inv[:, :2, :], coords)
                 images = grid_sample(images, grid)
 
-            # Downsample and crop back to [height, width].
+            # Downsample and crop back to [height, width].  `hz_geom` is a
+            # concrete separable filter, so this lowers to banded matmuls
+            # (MXU) rather than a depthwise conv — the conv form's
+            # batch-fold backward cost ~11 ms/step in relayout transposes
+            # at 256² C=1 (measured, round-3 xplane attribution).
             images = downsample2d(images, self.hz_geom, down=2, padding=-hz_pad * 2, flip_filter=True)
 
         # ------------------------------------------------------- color

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_stepper():
+def build_stepper(num_fp16_res: int = 4):
     from gantrack_tpu.models.stylegan2 import Discriminator, Generator
     from gantrack_tpu.parallel.mesh import create_mesh, shard_batch
     from gantrack_tpu.training import (
@@ -30,11 +30,12 @@ def build_stepper():
     g = Generator(
         z_dim=zdim, c_dim=0, w_dim=zdim, img_resolution=res, img_channels=1,
         mapping_kwargs=dict(num_layers=2),
-        synthesis_kwargs=dict(channel_base=16384, channel_max=512, num_fp16_res=4),
+        synthesis_kwargs=dict(channel_base=16384, channel_max=512,
+                              num_fp16_res=num_fp16_res),
     )
     d = Discriminator(
         c_dim=0, img_resolution=res, img_channels=1,
-        channel_base=16384, channel_max=512, num_fp16_res=4,
+        channel_base=16384, channel_max=512, num_fp16_res=num_fp16_res,
         epilogue_kwargs=dict(mbstd_group_size=4),
     )
     opt_g = lazy_reg_adam(0.0025, reg_interval=4)

@@ -137,6 +137,72 @@ def test_upsample_downsample_roundtrip_shapes():
     np.testing.assert_allclose(np.asarray(down[0, 4:-4, 4:-4, 0]), 1.0, rtol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "taps,padding,flip,gain",
+    [
+        # The ADA geometric config: sym6 (12 taps), crop-back padding.
+        ("sym6", -6, True, 1.0),
+        ("sym6", 0, False, 1.0),
+        ("box8", 2, False, 4.0),
+    ],
+)
+def test_downsample2d_matrix_matches_downsample2d(taps, padding, flip, gain):
+    """`downsample2d_matrix` (banded-matmul form) == `downsample2d`
+    (depthwise-conv form), forward and VJP."""
+    from gantrack_tpu.ops.upfirdn2d import downsample2d_matrix
+
+    if taps == "sym6":
+        from gantrack_tpu.training.augment import WAVELETS
+
+        raw = WAVELETS["sym6"]
+    else:
+        raw = list(range(1, 9))
+    f = setup_filter(raw)  # 1-D separable (>= 8 taps)
+    taps_t = tuple(np.asarray(f, np.float32).tolist())
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((3, 28, 28, 2)).astype(np.float32))
+
+    ref = downsample2d(x, f, down=2, padding=padding, flip_filter=flip, gain=gain)
+    got = downsample2d_matrix(x, taps_t, down=2, padding=padding, flip_filter=flip, gain=gain)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+    # VJP parity (the whole point of the matrix form is a cheap adjoint).
+    ct = jnp.asarray(rng.standard_normal(ref.shape).astype(np.float32))
+    g_ref = jax.grad(lambda v: jnp.vdot(
+        downsample2d(v, f, down=2, padding=padding, flip_filter=flip, gain=gain), ct))(x)
+    g_got = jax.grad(lambda v: jnp.vdot(
+        downsample2d_matrix(v, taps_t, down=2, padding=padding, flip_filter=flip, gain=gain), ct))(x)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "up,down,padding,flip,gain",
+    [
+        (2, 1, (3, 1, 3, 1), False, 4.0),   # conv2d_resample up path
+        (1, 2, (1, 1, 1, 1), False, 1.0),   # conv2d_resample down path
+        (1, 1, (2, 1, 2, 1), True, 1.0),    # full-res FIR pass
+        (2, 2, (2, 2, 2, 2), False, 4.0),
+    ],
+)
+def test_upfirdn2d_matrix_impl_matches_conv(up, down, padding, flip, gain):
+    """The banded-matmul lowering == the depthwise-conv lowering for the
+    networks' rank-1 `setup_filter([1,3,3,1])` product, fwd + VJP."""
+    f = setup_filter([1, 3, 3, 1])  # 2-D outer product (size < 8)
+    assert f.ndim == 2
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 12, 13, 3)).astype(np.float32))
+    kw = dict(up=up, down=down, padding=list(padding), flip_filter=flip, gain=gain)
+    ref = upfirdn2d(x, f, impl="conv", **kw)
+    got = upfirdn2d(x, f, impl="matrix", **kw)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+    ct = jnp.asarray(rng.standard_normal(ref.shape).astype(np.float32))
+    g_ref = jax.grad(lambda v: jnp.vdot(upfirdn2d(v, f, impl="conv", **kw), ct))(x)
+    g_got = jax.grad(lambda v: jnp.vdot(upfirdn2d(v, f, impl="matrix", **kw), ct))(x)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), atol=1e-5, rtol=1e-5)
+
+
 def test_upfirdn2d_grad_flows():
     f = setup_filter([1, 3, 3, 1])
 
