@@ -138,9 +138,22 @@ def make_random_projection_detector(seed: int = 0, dim: int = 512,
     return Detector(apply_fn, mats, name=f"randproj-{dim}-seed{seed}")
 
 
+def _resolve_weights(weights_path: Optional[str]) -> Optional[str]:
+    """Accept local paths or URLs for detector weights; URLs resolve via
+    the md5 cache / GANTRACK_URL_MIRROR offline story (reference
+    ``metric_utils.py:47-58`` fetches detector URLs with dnnlib.open_url)."""
+    if weights_path:
+        from ..utils.url import is_url, open_url
+
+        if is_url(weights_path, allow_file_urls=True):
+            return open_url(weights_path, return_filename=True, verbose=False)
+    return weights_path
+
+
 def make_inception_detector(weights_path: Optional[str] = None, seed: int = 0) -> Detector:
     from ..models import inception
 
+    weights_path = _resolve_weights(weights_path)
     if weights_path and os.path.exists(weights_path):
         params, variant = inception.load_npz(weights_path)
         # "tfslim" = the TF-slim inception-2015-12-05 graph the reference's
@@ -156,6 +169,7 @@ def make_vgg_detector(weights_path: Optional[str] = None, seed: int = 0) -> Dete
     from ..models import vgg
 
     model = vgg.VGG16()
+    weights_path = _resolve_weights(weights_path)
     if weights_path and os.path.exists(weights_path):
         params = vgg.load_npz(weights_path)
         name = f"vgg16:{os.path.basename(weights_path)}"

@@ -86,11 +86,39 @@ class AlignedDataset:
         return arr(a), arr(b)
 
 
+class ColorizationDataset:
+    """RGB image folder -> (L, ab) CIELAB pairs (reference
+    ``data/colorization_dataset.py``: A = L/50 - 1 [1ch], B = ab/110
+    [2ch])."""
+
+    def __init__(self, root: str, phase: str, size: int, channels: int = 1):
+        self.paths = _list_images(os.path.join(root, phase))
+        assert self.paths, f"no images under {root}/{phase}"
+        self.size = size
+
+    def __len__(self):
+        return len(self.paths)
+
+    def get(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        from PIL import Image
+
+        from ..utils.colorspace import rgb2lab
+
+        img = Image.open(self.paths[idx % len(self.paths)]).convert("RGB")
+        img = img.resize((self.size, self.size), Image.BICUBIC)
+        lab = rgb2lab(np.asarray(img, np.uint8)).astype(np.float32)
+        a = lab[:, :, :1] / 50.0 - 1.0
+        b = lab[:, :, 1:] / 110.0
+        return a, b
+
+
 @click.command()
 @click.option("--dataroot", required=True)
 @click.option("--name", default="experiment")
-@click.option("--model", type=click.Choice(["cycle_gan", "pix2pix"]), default="cycle_gan")
-@click.option("--dataset-mode", type=click.Choice(["unaligned", "aligned"]), default=None)
+@click.option("--model", type=click.Choice(["cycle_gan", "pix2pix", "colorization",
+                                            "template"]), default="cycle_gan")
+@click.option("--dataset-mode", type=click.Choice(["unaligned", "aligned",
+                                                   "colorization"]), default=None)
 @click.option("--direction", type=click.Choice(["AtoB", "BtoA"]), default="AtoB")
 @click.option("--input-nc", type=int, default=3)
 @click.option("--output-nc", type=int, default=3)
@@ -125,14 +153,21 @@ def main(dataroot, name, model, dataset_mode, direction, input_nc, output_nc,
     import jax
 
     from ..training.image2image import (
-        CycleGANConfig, CycleGANTrainer, Pix2PixConfig, Pix2PixTrainer,
+        ColorizationTrainer, CycleGANConfig, CycleGANTrainer, Pix2PixConfig,
+        Pix2PixTrainer, RegressionConfig, RegressionTrainer,
     )
     from ..utils.checkpoint import save_checkpoint
 
+    if model == "colorization":
+        # reference colorization_model.modify_commandline_options: forces
+        # the colorization dataset mode, which sets input_nc=1/output_nc=2.
+        dataset_mode = "colorization"
+        input_nc, output_nc = 1, 2
     dataset_mode = dataset_mode or ("unaligned" if model == "cycle_gan" else "aligned")
     netg = netg or ("resnet_9blocks" if model == "cycle_gan" else "unet_256")
     gan_mode = gan_mode or ("lsgan" if model == "cycle_gan" else "vanilla")
-    ds_cls = UnalignedDataset if dataset_mode == "unaligned" else AlignedDataset
+    ds_cls = {"unaligned": UnalignedDataset, "aligned": AlignedDataset,
+              "colorization": ColorizationDataset}[dataset_mode]
     ds = (ds_cls(dataroot, "train", size, input_nc, seed) if dataset_mode == "unaligned"
           else ds_cls(dataroot, "train", size, input_nc))
     iters_per_epoch = max(len(ds) // batch_size, 1)
@@ -151,8 +186,18 @@ def main(dataroot, name, model, dataset_mode, direction, input_nc, output_nc,
             ),
             image_size=size, iters_per_epoch=iters_per_epoch,
         )
+    elif model == "template":
+        trainer = RegressionTrainer(
+            RegressionConfig(
+                input_nc=input_nc, output_nc=output_nc, ngf=ngf, netG=netg,
+                lr=lr, beta1=beta1, lr_policy=lr_policy,
+                n_epochs=n_epochs, n_epochs_decay=n_epochs_decay,
+            ),
+            image_size=size, iters_per_epoch=iters_per_epoch,
+        )
     else:
-        trainer = Pix2PixTrainer(
+        cls = ColorizationTrainer if model == "colorization" else Pix2PixTrainer
+        trainer = cls(
             Pix2PixConfig(
                 input_nc=input_nc, output_nc=output_nc, ngf=ngf, ndf=ndf,
                 netG=netg, netD=netd, gan_mode=gan_mode, lambda_l1=lambda_l1,

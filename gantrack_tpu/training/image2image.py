@@ -308,3 +308,98 @@ class Pix2PixTrainer:
             rng = jax.random.fold_in(jax.random.PRNGKey(0), int(state.step))
         state, lg, ld = self._step(state, jnp.asarray(real_a), jnp.asarray(real_b), rng)
         return state, {"G": float(lg), "D": float(ld)}
+
+
+class ColorizationTrainer(Pix2PixTrainer):
+    """pix2pix specialised to colorization: L channel -> ab channels in
+    CIELAB (reference ``models/colorization_model.py``; the reference's
+    only deltas over pix2pix are the 1->2 channel config — set by the
+    colorization dataset mode — and Lab->RGB visuals)."""
+
+    def __init__(self, cfg: Optional[Pix2PixConfig] = None, **kwargs):
+        cfg = cfg or Pix2PixConfig()
+        cfg = dataclasses.replace(cfg, input_nc=1, output_nc=2)
+        super().__init__(cfg, **kwargs)
+
+    @staticmethod
+    def lab2rgb(L: np.ndarray, AB: np.ndarray) -> np.ndarray:
+        """[-1,1] L plane + [-1,1] ab planes -> [0,255] RGB float array
+        (reference ``colorization_model.py:48-63``: L2=(L+1)*50,
+        AB2=AB*110, skimage lab2rgb, *255)."""
+        from ..utils.colorspace import lab2rgb as _lab2rgb
+
+        L = np.asarray(L, np.float64)
+        AB = np.asarray(AB, np.float64)
+        lab = np.concatenate([(L + 1.0) * 50.0, AB * 110.0], axis=-1)
+        return _lab2rgb(lab) * 255.0
+
+    def compute_visuals(self, real_a, real_b, fake_b) -> Dict[str, np.ndarray]:
+        """reference ``compute_visuals``: input L, ground-truth RGB,
+        predicted RGB (all NHWC numpy)."""
+        return {
+            "real_A": np.asarray(real_a),
+            "real_B_rgb": self.lab2rgb(real_a, real_b),
+            "fake_B_rgb": self.lab2rgb(real_a, fake_b),
+        }
+
+
+@flax.struct.dataclass
+class RegressionState:
+    step: jax.Array
+    params_g: Any
+    opt_g: optax.OptState
+
+
+@dataclasses.dataclass
+class RegressionConfig:
+    input_nc: int = 3
+    output_nc: int = 3
+    ngf: int = 64
+    netG: str = "unet_256"
+    lambda_regression: float = 1.0
+    lr: float = 2e-4
+    beta1: float = 0.5
+    lr_policy: str = "linear"
+    n_epochs: int = 100
+    n_epochs_decay: int = 100
+
+
+class RegressionTrainer:
+    """G-only L1 regression baseline ``min_G ||G(A) - B||_1`` (reference
+    ``models/template_model.py`` — the 'template' model is a working
+    regression i2i baseline, not just scaffolding)."""
+
+    def __init__(self, cfg: RegressionConfig, image_size: int = 256,
+                 iters_per_epoch: int = 1000):
+        self.cfg = cfg
+        self.g = define_G(cfg.output_nc, cfg.ngf, cfg.netG)
+        sched = make_lr_schedule(cfg.lr_policy, cfg.lr, cfg.n_epochs,
+                                 cfg.n_epochs_decay, iters_per_epoch)
+        self.opt_g = optax.adam(sched, b1=cfg.beta1, b2=0.999)
+        self._step = jax.jit(self._step_impl)
+        self._image_size = image_size
+
+    def init_state(self, rng: jax.Array) -> RegressionState:
+        s = self._image_size
+        dummy_a = jnp.zeros((1, s, s, self.cfg.input_nc))
+        pg = self.g.init(rng, dummy_a)["params"]
+        return RegressionState(step=jnp.asarray(0), params_g=pg,
+                               opt_g=self.opt_g.init(pg))
+
+    def _step_impl(self, state: RegressionState, real_a, real_b):
+        def g_loss(pg):
+            fake = self.g.apply({"params": pg}, real_a)
+            return jnp.mean(jnp.abs(fake - real_b)) * self.cfg.lambda_regression
+
+        lg, grads = jax.value_and_grad(g_loss)(state.params_g)
+        up, opt_g = self.opt_g.update(grads, state.opt_g, state.params_g)
+        return state.replace(
+            step=state.step + 1,
+            params_g=optax.apply_updates(state.params_g, up),
+            opt_g=opt_g,
+        ), lg
+
+    def optimize_parameters(self, state: RegressionState, real_a, real_b, rng=None
+                            ) -> Tuple[RegressionState, Dict[str, float]]:
+        state, lg = self._step(state, jnp.asarray(real_a), jnp.asarray(real_b))
+        return state, {"loss_G": float(lg)}
