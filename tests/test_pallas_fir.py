@@ -102,3 +102,28 @@ def test_fir2d_bf16_f32_accumulation():
     ref = _ref(jnp.asarray(x32, jnp.bfloat16), F4, 1, 1, (2, 1, 1, 2), 1.0, False)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32), atol=3e-2)
+
+
+@pytest.mark.parametrize(
+    "up,down,padding,gain,flip",
+    [
+        (1, 1, (0, 0, 0, 0), 4.0, False),
+        (1, 2, (1, 1, 1, 1), 1.0, False),
+        (2, 1, (3, 1, 3, 1), 4.0, False),
+        (1, 1, (2, 2, 2, 2), 1.0, True),
+    ],
+)
+def test_upfirdn2d_pallas_dispatch(up, down, padding, gain, flip):
+    """impl='pallas' through upfirdn2d == conv lowering (the dispatch path
+    the networks take when GANTRACK_PALLAS_FIR=1)."""
+    f = setup_filter([1, 3, 3, 1])
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 8)).astype(np.float32))
+    py0, py1, px0, px1 = padding
+    kw = dict(up=up, down=down, padding=[px0, px1, py0, py1],
+              gain=gain, flip_filter=flip)
+    ref = upfirdn2d(x, f, impl="conv", **kw)
+    got = upfirdn2d(x, f, impl="pallas", **kw)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
