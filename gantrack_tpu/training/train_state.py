@@ -102,4 +102,15 @@ def lazy_reg_adam(
         mb_ratio = reg_interval / (reg_interval + 1)
         lr = lr * mb_ratio
         betas = tuple(b**mb_ratio for b in betas)
-    return optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps)
+    tx = optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps)
+    # A/B lever (GANTRACK_FLAT_OPT=1): run Adam over one concatenated
+    # vector instead of ~200 small per-leaf fusions.  The ravel/unravel
+    # round trip is ~100 MB/step of pure bandwidth; whether that beats the
+    # per-fusion launch tail is an empirical question (see docs/ROADMAP.md
+    # perf log).  Changes the opt-state pytree, so checkpoints written
+    # with the flag differ from ones without.
+    import os
+
+    if os.environ.get("GANTRACK_FLAT_OPT", "0") == "1":
+        tx = optax.flatten(tx)
+    return tx
