@@ -15,10 +15,33 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import click
+
+_LOSS_LINE = re.compile(r"\(epoch (\d+), iters (\d+)\)(.*)")
+_KV = re.compile(r"(\w+): (-?[\d.]+(?:e-?\d+)?)")
+
+
+def parse_loss_log(path: str) -> dict:
+    """i2i ``loss_log.txt`` ("(epoch E, iters I) k: v ...", the reference
+    ``util/visualizer.py:print_current_losses`` format) → per-loss series."""
+    out: dict = {}
+    if not os.path.exists(path):
+        return out
+    with open(path) as f:
+        for line in f:
+            m = _LOSS_LINE.match(line.strip())
+            if not m:
+                continue
+            iters = int(m.group(2))
+            for k, v in _KV.findall(m.group(3)):
+                s = out.setdefault(k, {"x": [], "y": []})
+                s["x"].append(iters)
+                s["y"].append(float(v))
+    return out
 
 
 def read_series(run_dir: str) -> dict:
@@ -61,6 +84,7 @@ def read_series(run_dir: str) -> dict:
         augment=col("Progress/augment"),
         sec_per_kimg=col("Timing/sec_per_kimg"),
         metrics=metrics,
+        extra=parse_loss_log(os.path.join(run_dir, "loss_log.txt")),
     )
 
 
@@ -168,6 +192,8 @@ async function refresh(){
  chart(card(),'sec / kimg',d.kimg,[{name:'sec/kimg',ys:d.sec_per_kimg,color:c1}]);
  for(const[m,pts]of Object.entries(d.metrics))
   chart(card(),m,pts.map((_,i)=>i),[{name:m,ys:pts.map(p=>p.value),color:c3}]);
+ for(const[k,s]of Object.entries(d.extra||{}))   // i2i loss_log.txt series
+  chart(card(),k+' (iters)',s.x,[{name:k,ys:s.y,color:c1}]);
  const rows=d.kimg.map((k,i)=>`<tr><td>${fmt(k)}</td><td>${fmt(d.loss_g[i])}</td>
   <td>${fmt(d.loss_d[i])}</td><td>${fmt(d.augment[i])}</td><td>${fmt(d.sec_per_kimg[i])}</td></tr>`);
  document.getElementById('table').innerHTML=

@@ -51,4 +51,16 @@ def test_dashboard_http(tmp_path):
 
 def test_read_series_empty_dir(tmp_path):
     s = read_series(str(tmp_path))
-    assert s["kimg"] == [] and s["metrics"] == {}
+    assert s["kimg"] == [] and s["metrics"] == {} and s["extra"] == {}
+
+
+def test_parse_i2i_loss_log(tmp_path):
+    (tmp_path / "loss_log.txt").write_text(
+        "(epoch 1, iters 100) G_GAN: 0.812 G_L1: 12.300 D_real: 0.650\n"
+        "End of epoch 1 \t Time: 12 sec\n"
+        "(epoch 2, iters 200) G_GAN: 0.700 G_L1: 11.000 D_real: 0.600\n"
+    )
+    s = read_series(str(tmp_path))
+    assert s["extra"]["G_GAN"] == {"x": [100, 200], "y": [0.812, 0.7]}
+    assert s["extra"]["G_L1"]["y"] == [12.3, 11.0]
+    assert set(s["extra"]) == {"G_GAN", "G_L1", "D_real"}
