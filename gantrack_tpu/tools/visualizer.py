@@ -9,6 +9,9 @@ Capability parity with the reference widgets:
 
 * latent widget (``viz/latent_widget.py``) — seed picker + a second seed
   with a blend slider (w-space lerp);
+* style-mixing widget (``viz/stylemix_widget.py``) — a mixing seed whose
+  w replaces layers ≥ cutoff (equivalent to truncate-then-mix, since the
+  shared-psi truncation lerp commutes with row swaps);
 * truncation/noise widget (``viz/trunc_noise_widget.py``) — psi slider
   and noise mode, **without recompilation**: mapping runs with psi=1 and
   the truncation lerp ``w_avg + (w − w_avg)·psi`` is applied between the
@@ -82,7 +85,8 @@ class RenderEngine:
 
     # ---------------------------------------------------------- latents
 
-    def _ws(self, seed: int, psi: float, seed2: Optional[int], blend: float):
+    def _ws(self, seed: int, psi: float, seed2: Optional[int], blend: float,
+            mix_seed: Optional[int] = None, mix_cutoff: int = 0):
         import jax
 
         z = jax.random.normal(jax.random.PRNGKey(int(seed)), (1, self.g.z_dim))
@@ -90,7 +94,13 @@ class RenderEngine:
         if seed2 is not None and blend > 0:
             z2 = jax.random.normal(jax.random.PRNGKey(int(seed2)), (1, self.g.z_dim))
             ws = ws + (self._map(z2, None) - ws) * float(blend)  # w-space lerp
-        return self.w_avg + (np.asarray(ws) - self.w_avg) * float(psi)
+        ws = np.array(ws)
+        if mix_seed is not None and 0 < mix_cutoff < ws.shape[1]:
+            # Style mixing (viz/stylemix_widget.py): fine layers
+            # [cutoff:] take their w from the mixing seed.
+            zm = jax.random.normal(jax.random.PRNGKey(int(mix_seed)), (1, self.g.z_dim))
+            ws[:, int(mix_cutoff):] = np.asarray(self._map(zm, None))[:, int(mix_cutoff):]
+        return self.w_avg + (ws - self.w_avg) * float(psi)
 
     def _transform(self, rotate: float, tx: float, ty: float):
         from .gen_images import make_transform
@@ -104,10 +114,11 @@ class RenderEngine:
 
     def render(self, seed: int, psi: float = 1.0, seed2: Optional[int] = None,
                blend: float = 0.0, rotate: float = 0.0, tx: float = 0.0,
-               ty: float = 0.0) -> np.ndarray:
+               ty: float = 0.0, mix_seed: Optional[int] = None,
+               mix_cutoff: int = 0) -> np.ndarray:
         """→ uint8 [H, W] or [H, W, 3]."""
         with self.lock:
-            ws = self._ws(seed, psi, seed2, blend)
+            ws = self._ws(seed, psi, seed2, blend, mix_seed, mix_cutoff)
             img = np.asarray(self._synth(
                 self._jnp.asarray(ws), self._transform(rotate, tx, ty)))[0]
         img = np.clip((img + 1) * 127.5, 0, 255).astype(np.uint8)
@@ -158,6 +169,9 @@ img{image-rendering:pixelated;border:1px solid #3a3f4b;border-radius:6px}
  <input id=blend type=range min=0 max=1 step=0.01 value=0></label>
 <label>truncation psi <span id=psiv>1.00</span>
  <input id=psi type=range min=-1 max=2 step=0.01 value=1></label>
+<label>style-mix seed <input id=mix_seed type=number value='' placeholder=off></label>
+<label>mix cutoff layer <span id=mix_cutoffv>0</span>
+ <input id=mix_cutoff type=range min=0 max=16 step=1 value=0></label>
 <div id=xform style=display:none>
 <label>rotate° <span id=rotatev>0</span>
  <input id=rotate type=range min=-180 max=180 step=1 value=0></label>
@@ -168,7 +182,7 @@ img{image-rendering:pixelated;border:1px solid #3a3f4b;border-radius:6px}
 <label>layer view <select id=layer><option value=''>(output)</option></select></label>
 <div id=perf></div></div>
 <div><img id=out width=512 height=512></div></div><script>
-const ids=['seed','seed2','blend','psi','rotate','tx','ty'];
+const ids=['seed','seed2','blend','psi','rotate','tx','ty','mix_seed','mix_cutoff'];
 let timer=null;
 function q(){const p=new URLSearchParams();
  ids.forEach(i=>p.set(i,document.getElementById(i).value));
@@ -181,11 +195,14 @@ async function refresh(){const t0=performance.now();const r=await fetch(q());
   'render '+ms+' ms (round-trip '+(performance.now()-t0).toFixed(0)+' ms)';}
 function arm(){clearTimeout(timer);timer=setTimeout(refresh,120);
  ['blend','psi','rotate','tx','ty'].forEach(i=>{const e=document.getElementById(i);
-  document.getElementById(i+'v').textContent=(+e.value).toFixed(2);});}
+  document.getElementById(i+'v').textContent=(+e.value).toFixed(2);});
+ document.getElementById('mix_cutoffv').textContent=
+  document.getElementById('mix_cutoff').value;}
 ids.forEach(i=>document.getElementById(i).addEventListener('input',arm));
 document.getElementById('layer').addEventListener('change',arm);
 fetch('/api/info').then(r=>r.json()).then(info=>{
  if(info.has_transform)document.getElementById('xform').style.display='';
+ document.getElementById('mix_cutoff').max=info.num_ws;
  fetch('/api/layers').then(r=>r.json()).then(ls=>{const s=document.getElementById('layer');
   ls.layers.forEach(l=>{const o=document.createElement('option');
    o.value=l.name;o.textContent=l.name+'  '+l.shape.join('x');s.appendChild(o);});});});
@@ -223,6 +240,7 @@ def make_handler(engine: RenderEngine):
                     self._send(200, "application/json", json.dumps(dict(
                         resolution=engine.g.img_resolution,
                         channels=engine.channels, z_dim=engine.g.z_dim,
+                        num_ws=int(engine.g.num_ws),
                         has_transform=engine.has_transform,
                     )).encode())
                 elif url.path == "/api/layers":
@@ -240,7 +258,9 @@ def make_handler(engine: RenderEngine):
                     if url.path == "/api/render":
                         img = engine.render(
                             seed2=int(qs.get("seed2", 0)) if qs.get("blend") else None,
-                            blend=float(qs.get("blend", 0.0)), **args)
+                            blend=float(qs.get("blend", 0.0)),
+                            mix_seed=int(qs["mix_seed"]) if qs.get("mix_seed") else None,
+                            mix_cutoff=int(qs.get("mix_cutoff", 0)), **args)
                     else:
                         acts = engine.layer_activations(**args)
                         name = qs.get("name", "")

@@ -59,6 +59,22 @@ def test_engine_matches_direct_apply():
     np.testing.assert_array_equal(eng.render(seed=3, seed2=5, blend=1.0), b)
 
 
+def test_style_mixing():
+    g, v = _sg2()
+    eng = RenderEngine(g, v, channels=1)
+    base = eng.render(seed=3)
+    # cutoff 0 or >= num_ws ⇒ mixing off
+    np.testing.assert_array_equal(base, eng.render(seed=3, mix_seed=7, mix_cutoff=0))
+    np.testing.assert_array_equal(
+        base, eng.render(seed=3, mix_seed=7, mix_cutoff=g.num_ws))
+    mixed = eng.render(seed=3, mix_seed=7, mix_cutoff=2)
+    assert not np.array_equal(base, mixed)
+    # rows >= cutoff come verbatim from the mixing seed
+    ws_a = eng._ws(3, 1.0, None, 0.0, mix_seed=7, mix_cutoff=2)
+    ws_b = eng._ws(7, 1.0, None, 0.0)
+    np.testing.assert_array_equal(ws_a[:, 2:], ws_b[:, 2:])
+
+
 def test_sg3_transform_slider_changes_image():
     g, v = _sg3()
     eng = RenderEngine(g, v, channels=1)
