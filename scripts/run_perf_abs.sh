@@ -1,0 +1,26 @@
+#!/bin/bash
+# Round-3 perf A/B matrix. Run when the TPU is reachable:
+#   bash scripts/run_perf_abs.sh /tmp/perf_ab.log
+# Serializes every experiment (1 CPU core + 1 chip); each bench.py run
+# prints one JSON line which we label and append. Compile cache makes
+# the baseline run cheap if it was ever compiled before.
+set -u
+OUT="${1:-/tmp/perf_ab.log}"
+cd /root/repo
+
+run() {  # run <label> <env...> -- <cmd...>
+  local label="$1"; shift
+  echo "=== $label $(date -u +%H:%M:%S) ===" | tee -a "$OUT"
+  "$@" 2>>"$OUT.err" | tail -2 | sed "s/^/[$label] /" | tee -a "$OUT"
+}
+
+# 1. Pallas FIR microbench (per-shape GB/s vs XLA)
+run fir_micro timeout 3000 python scripts/bench_pallas_fir.py 64
+
+# 2. Step-level A/Bs
+run base           timeout 3000 python bench.py
+run flat_opt       env GANTRACK_FLAT_OPT=1 timeout 3000 python bench.py
+run pallas_fir     env GANTRACK_PALLAS_FIR=1 timeout 3000 python bench.py
+run both           env GANTRACK_FLAT_OPT=1 GANTRACK_PALLAS_FIR=1 timeout 3000 python bench.py
+
+echo "=== done $(date -u +%H:%M:%S) ===" | tee -a "$OUT"
