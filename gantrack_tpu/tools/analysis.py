@@ -93,11 +93,13 @@ def emit_metric_loop(run_dir: str, data: str, metrics: str = "fid10k") -> str:
 
 
 def clean_run_dir(run_dir: str, keep_snapshots: Optional[List[str]] = None,
-                  dry_run: bool = True) -> List[str]:
+                  dry_run: bool = True, metric: str = "fid50k_full",
+                  mode: Optional[str] = None) -> List[str]:
     """Delete all but whitelisted checkpoints (reference
-    ``run_recursively_clean.py``)."""
+    ``run_recursively_clean.py``).  Always keeps the latest snapshot and
+    the best one by ``metric`` (when that metric was recorded)."""
     keep = set(keep_snapshots or [])
-    best = best_snapshot(run_dir)
+    best = best_snapshot(run_dir, metric, mode)
     if best and best[0]:
         keep.add(os.path.basename(best[0]))
     removed = []
