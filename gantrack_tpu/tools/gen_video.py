@@ -78,7 +78,9 @@ def main(checkpoint, seeds, grid_dims, num_keyframes, w_frames, truncation_psi,
             w = ws[yi, xi]
             loop = np.concatenate([w, w[:1]])
             x = np.arange(len(loop))
-            interps[(yi, xi)] = scipy.interpolate.interp1d(x, loop, kind="cubic", axis=0)
+            # cubic needs >=4 knots; short loops (1-2 keyframes) lerp
+            kind = "cubic" if len(loop) >= 4 else "linear"
+            interps[(yi, xi)] = scipy.interpolate.interp1d(x, loop, kind=kind, axis=0)
 
     frames: List[np.ndarray] = []
     total = num_keyframes * w_frames
