@@ -1,0 +1,68 @@
+"""import_torch_pickle CLI: a reference network-snapshot pickle round-trips
+into a gantrack checkpoint with exact weight transplant
+(reference legacy.py:22-59 consumption path)."""
+
+import pickle
+
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+from tests.conftest import has_reference, import_reference_module
+
+requires_reference = pytest.mark.skipif(
+    not has_reference(), reason="reference tree not present")
+
+pytestmark = pytest.mark.slow  # torch module construction + state init
+
+
+@requires_reference
+def test_import_torch_pickle_roundtrip(tmp_path):
+    torch = pytest.importorskip("torch")
+    nets = import_reference_module("training.networks_stylegan2")
+
+    from gantrack_tpu.models.torch_compat import generator_params_from_torch
+    from gantrack_tpu.tools.import_torch_pickle import main
+    from gantrack_tpu.utils.checkpoint import load_checkpoint
+
+    torch.manual_seed(0)
+    kw = dict(z_dim=16, c_dim=0, w_dim=16, img_resolution=32, img_channels=1,
+              mapping_kwargs={"num_layers": 2},
+              channel_base=256, channel_max=64, num_fp16_res=0)
+    g_ref = nets.Generator(**kw).eval()
+    g_ema = nets.Generator(**kw).eval()
+    d_ref = nets.Discriminator(c_dim=0, img_resolution=32, img_channels=1,
+                               channel_base=256, channel_max=64,
+                               num_fp16_res=0).eval()
+    src = tmp_path / "network-snapshot-000000.pkl"
+    with open(src, "wb") as f:
+        pickle.dump({"G": g_ref, "D": d_ref, "G_ema": g_ema}, f)
+
+    dst = tmp_path / "out"
+    res = CliRunner().invoke(main, ["--src", str(src), "--dst", str(dst)],
+                             catch_exceptions=False)
+    assert res.exit_code == 0, res.output
+
+    state = load_checkpoint(str(dst / "state-00000000"), None)
+    want = generator_params_from_torch(g_ema)
+
+    def leaves(tree):
+        out = {}
+        def rec(node, p):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    rec(v, p + (k,))
+            else:
+                out[p] = np.asarray(node)
+        rec(tree, ())
+        return out
+
+    got = leaves(state["params_g_ema"])
+    ref = leaves(want["params"])
+    assert set(got) == set(ref) and len(got) > 10
+    for k in ref:
+        np.testing.assert_array_equal(got[k], ref[k].astype(got[k].dtype))
+    # w_avg EMA buffer travels too
+    np.testing.assert_array_equal(
+        leaves(state["emas_g"])[("mapping", "w_avg")],
+        leaves(want["emas"])[("mapping", "w_avg")])
