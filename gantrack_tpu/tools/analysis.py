@@ -94,12 +94,17 @@ def emit_metric_loop(run_dir: str, data: str, metrics: str = "fid10k") -> str:
 
 def clean_run_dir(run_dir: str, keep_snapshots: Optional[List[str]] = None,
                   dry_run: bool = True, metric: str = "fid50k_full",
-                  mode: Optional[str] = None) -> List[str]:
+                  mode: Optional[str] = None,
+                  minimize: Optional[bool] = None) -> List[str]:
     """Delete all but whitelisted checkpoints (reference
     ``run_recursively_clean.py``).  Always keeps the latest snapshot and
-    the best one by ``metric`` (when that metric was recorded)."""
+    the best one by ``metric`` (when that metric was recorded).
+    ``minimize`` defaults by metric family: equivariance PSNRs (eq*) and
+    precision/recall/IS are higher-is-better; FID/KID/PPL lower."""
+    if minimize is None:
+        minimize = not metric.startswith(("eq", "pr", "is", "precision", "recall"))
     keep = set(keep_snapshots or [])
-    best = best_snapshot(run_dir, metric, mode)
+    best = best_snapshot(run_dir, metric, mode, minimize=minimize)
     if best and best[0]:
         keep.add(os.path.basename(best[0]))
     removed = []

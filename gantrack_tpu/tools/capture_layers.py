@@ -42,7 +42,10 @@ def flatten_intermediates(tree) -> Dict[str, np.ndarray]:
                 suffix = [] if len(node) == 1 else [str(i)]
                 rec(v, path + suffix)
         else:
-            arr = np.asarray(node)
+            # Keep anything shaped (jax arrays, ShapeDtypeStructs from
+            # eval_shape) as-is; np.asarray would collapse abstract
+            # leaves to 0-d object arrays.
+            arr = node if hasattr(node, "shape") else np.asarray(node)
             name = "/".join(path)
             # Multiple outputs from one module keep first occurrence; the
             # synthesis image tensors are all unique paths anyway.

@@ -95,18 +95,24 @@ def main(config_path, source, dest, patients_info, box_file, box_value,
     clip = {"min": float(data_cfg.get("clip_min", clip_min)),
             "max": float(data_cfg.get("clip_max", clip_max))}
 
-    run_dir = allocate_run_dir(os.path.join(dest, "runs"), "prepare_dataset")
-    Logger(os.path.join(run_dir, "log.txt"))
+    import json
+
     opts = dict(source=source, dest=dest, patients_info=patients_info,
                 box_file=box_file, box_value=box_value, resolution=resolution,
                 clip=clip, convert_to_uint8=convert_to_uint8, seed=seed,
                 config=dict(cfg))
-    dump_options(run_dir, opts, name="configuration.json")
-    np.random.seed(seed)
-
+    print(json.dumps(opts, indent=2))
+    # Confirm BEFORE allocating the run dir, so an aborted attempt leaves
+    # nothing behind (reference dataset_preparation.py gates with input()
+    # before its submit-run block).
     if interactive and input("run with the config above? [y/N] ") != "y":
         print("aborted")
         return
+    run_dir = allocate_run_dir(os.path.join(dest, "runs"), "prepare_dataset")
+    Logger(os.path.join(run_dir, "log.txt"))
+    print(json.dumps(opts, indent=2))  # into log.txt too
+    dump_options(run_dir, opts, name="configuration.json")
+    np.random.seed(seed)
 
     # Patient/box intersection (reference dataset_preparation.py:136-146).
     info = _read_table(patients_info)
@@ -124,7 +130,8 @@ def main(config_path, source, dest, patients_info, box_file, box_value,
     out_dir = os.path.join(dest, "images")
     os.makedirs(out_dir, exist_ok=True)
     scale = dict(clip)
-    for n, sid in enumerate(slice_ids[:max_slices]):
+    todo = slice_ids[:max_slices]
+    for n, sid in enumerate(todo):
         patient = sid.split("_")[0]
         img_path = os.path.join(source, patient, "images", f"{sid}.tif")
         img = np.asarray(Image.open(img_path)).astype(np.float64)
@@ -142,9 +149,8 @@ def main(config_path, source, dest, patients_info, box_file, box_value,
         else:
             im.save(os.path.join(out_dir, f"{sid}.tif"), "tiff")
         if (n + 1) % 200 == 0:
-            print(f"{n + 1}/{len(slice_ids)} slices")
-    print(f"done: {min(len(slice_ids), max_slices or len(slice_ids))} slices "
-          f"→ {out_dir}")
+            print(f"{n + 1}/{len(todo)} slices")
+    print(f"done: {len(todo)} slices → {out_dir}")
 
 
 if __name__ == "__main__":

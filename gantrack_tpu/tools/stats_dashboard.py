@@ -22,7 +22,15 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import click
 
 _LOSS_LINE = re.compile(r"\(epoch (\d+), iters (\d+)\)(.*)")
-_KV = re.compile(r"(\w+): (-?[\d.]+(?:e-?\d+)?)")
+_KV = re.compile(r"(\w+): (-?(?:[\d.]+(?:e-?\d+)?|nan|inf))")
+
+
+def _finite(v):
+    """Browsers reject NaN/Infinity in JSON; plot a gap (null) instead —
+    a divergence must stay visible as a break in the line, not vanish."""
+    import math
+
+    return v if isinstance(v, (int, float)) and math.isfinite(v) else None
 
 
 def parse_loss_log(path: str) -> dict:
@@ -40,7 +48,7 @@ def parse_loss_log(path: str) -> dict:
             for k, v in _KV.findall(m.group(3)):
                 s = out.setdefault(k, {"x": [], "y": []})
                 s["x"].append(iters)
-                s["y"].append(float(v))
+                s["y"].append(_finite(float(v)))
     return out
 
 
@@ -60,12 +68,13 @@ def read_series(run_dir: str) -> dict:
     kimg = [t.get("Progress/kimg", 0.0) for t in ticks]
 
     def col(name):
-        return [t.get(name) for t in ticks]
+        return [_finite(t.get(name)) for t in ticks]
 
+    # One series per RESULT KEY: multi-result metrics (pr50k3_full →
+    # precision+recall, is50k → mean+std) must not interleave into one
+    # zig-zag series.
     metrics = {}
     for mp in sorted(glob.glob(os.path.join(run_dir, "metric-*.jsonl"))):
-        name = os.path.basename(mp)[len("metric-"):-len(".jsonl")]
-        pts = []
         with open(mp) as f:
             for line in f:
                 try:
@@ -74,9 +83,8 @@ def read_series(run_dir: str) -> dict:
                     continue
                 for k, v in rec.get("results", {}).items():
                     snap = rec.get("snapshot_path") or ""
-                    pts.append(dict(value=v, snapshot=os.path.basename(snap)))
-        if pts:
-            metrics[name] = pts
+                    metrics.setdefault(k, []).append(
+                        dict(value=_finite(v), snapshot=os.path.basename(snap)))
     return dict(
         kimg=kimg,
         loss_g=col("Loss/G/loss"), loss_d=col("Loss/D/loss"),
@@ -132,7 +140,8 @@ function fmt(v){return v==null?'–':(Math.abs(v)>=100?v.toFixed(0):
 function ticks(lo,hi,n){const s=(hi-lo)/Math.max(n,1),m=Math.pow(10,Math.floor(Math.log10(s||1))),
  st=[1,2,5,10].map(x=>x*m).find(x=>x>=s)||m,out=[];
  for(let v=Math.ceil(lo/st)*st;v<=hi+1e-9;v+=st)out.push(v);return out;}
-function chart(el,title,xs,series){ // series: [{name,ys,color}]
+function chart(el,title,xs,series,xlabel){ // series: [{name,ys,color}]
+ xlabel=xlabel||'kimg';
  const W=440,H=190,L=46,R=12,T=10,B=22;
  const pts=series.flatMap(s=>s.ys.filter(v=>v!=null));
  if(!xs.length||!pts.length){el.innerHTML='<h2>'+title+'</h2><div style="color:var(--text-secondary);font-size:.8em">no data yet</div>';return;}
@@ -142,10 +151,13 @@ function chart(el,title,xs,series){ // series: [{name,ys,color}]
  let g='';ticks(lo,hi,4).forEach(v=>{g+=`<line x1=${L} x2=${W-R} y1=${Y(v)} y2=${Y(v)} stroke=${css('--grid')} stroke-width=1 />`
   +`<text x=${L-6} y=${Y(v)+3} text-anchor=end>${fmt(v)}</text>`;});
  ticks(x0,x1,5).forEach(v=>{g+=`<text x=${X(v)} y=${H-6} text-anchor=middle>${fmt(v)}</text>`;});
- series.forEach(s=>{const d=xs.map((x,i)=>s.ys[i]==null?null:`${X(x)},${Y(s.ys[i])}`)
-  .filter(Boolean).join(' ');
-  g+=`<polyline points="${d}" fill=none stroke=${s.color} stroke-width=2
-   stroke-linejoin=round stroke-linecap=round />`;
+ series.forEach(s=>{ // null (NaN/divergence) breaks the line into segments
+  let seg=[];const segs=[];
+  xs.forEach((x,i)=>{if(s.ys[i]==null){if(seg.length)segs.push(seg);seg=[];}
+   else seg.push(`${X(x)},${Y(s.ys[i])}`);});
+  if(seg.length)segs.push(seg);
+  segs.forEach(d=>{g+=`<polyline points="${d.join(' ')}" fill=none stroke=${s.color}
+   stroke-width=2 stroke-linejoin=round stroke-linecap=round />`;});
   const li=s.ys.map((v,i)=>v==null?-1:i).filter(i=>i>=0).pop();
   if(li!=null&&li>=0)g+=`<circle cx=${X(xs[li])} cy=${Y(s.ys[li])} r=4 fill=${s.color}
    stroke=${css('--surface-2')} stroke-width=2 />`;});
@@ -160,7 +172,7 @@ function chart(el,title,xs,series){ // series: [{name,ys,color}]
   ch.setAttribute('x1',X(xs[bi]));ch.setAttribute('x2',X(xs[bi]));
   ch.setAttribute('visibility','visible');
   tip.replaceChildren();const hd=document.createElement('div');
-  hd.style.color=css('--text-secondary');hd.textContent='kimg '+fmt(xs[bi]);
+  hd.style.color=css('--text-secondary');hd.textContent=xlabel+' '+fmt(xs[bi]);
   tip.appendChild(hd);
   series.forEach(s=>{const row=document.createElement('div');
    const k=document.createElement('span');k.className='k';k.style.background=s.color;
@@ -191,9 +203,9 @@ async function refresh(){
  chart(card(),'augment p (ADA)',d.kimg,[{name:'p',ys:d.augment,color:c3}]);
  chart(card(),'sec / kimg',d.kimg,[{name:'sec/kimg',ys:d.sec_per_kimg,color:c1}]);
  for(const[m,pts]of Object.entries(d.metrics))
-  chart(card(),m,pts.map((_,i)=>i),[{name:m,ys:pts.map(p=>p.value),color:c3}]);
+  chart(card(),m,pts.map((_,i)=>i),[{name:m,ys:pts.map(p=>p.value),color:c3}],'snapshot');
  for(const[k,s]of Object.entries(d.extra||{}))   // i2i loss_log.txt series
-  chart(card(),k+' (iters)',s.x,[{name:k,ys:s.y,color:c1}]);
+  chart(card(),k+' (iters)',s.x,[{name:k,ys:s.y,color:c1}],'iters');
  const rows=d.kimg.map((k,i)=>`<tr><td>${fmt(k)}</td><td>${fmt(d.loss_g[i])}</td>
   <td>${fmt(d.loss_d[i])}</td><td>${fmt(d.augment[i])}</td><td>${fmt(d.sec_per_kimg[i])}</td></tr>`);
  document.getElementById('table').innerHTML=

@@ -152,6 +152,22 @@ class RenderEngine:
         return {k: v for k, v in flatten_intermediates(inter).items()
                 if np.asarray(v).ndim == 4}
 
+    def layer_shapes(self) -> Dict[str, tuple]:
+        """Layer table WITHOUT compiling or running anything:
+        ``jax.eval_shape`` traces the capture function abstractly, so the
+        page-load layer listing is instant and the heavy many-output
+        program compiles only when a layer image is first requested."""
+        import jax
+
+        with self.lock:
+            self._ensure_capture()
+        ws = jax.ShapeDtypeStruct((1, int(self.g.num_ws), self.w_avg.shape[-1]),
+                                  np.float32)
+        tr = jax.ShapeDtypeStruct((3, 3), np.float32)
+        inter = jax.eval_shape(self._capture, ws, tr)
+        return {k: tuple(v.shape) for k, v in flatten_intermediates(inter).items()
+                if hasattr(v, "shape") and len(v.shape) == 4}
+
 
 _PAGE = """<!DOCTYPE html><html><head><title>gantrack visualizer</title><style>
 body{font-family:system-ui;margin:1.2em;background:#16181d;color:#d5d9e0}
@@ -188,10 +204,15 @@ function q(){const p=new URLSearchParams();
  ids.forEach(i=>p.set(i,document.getElementById(i).value));
  const l=document.getElementById('layer').value;
  return (l?'/api/layer?name='+encodeURIComponent(l)+'&':'/api/render?')+p;}
+let lastUrl=null;
 async function refresh(){const t0=performance.now();const r=await fetch(q());
+ const perf=document.getElementById('perf');
+ if(!r.ok){perf.textContent='error: '+await r.text();return;} // keep last frame
  const ms=r.headers.get('X-Render-Ms');const b=await r.blob();
- document.getElementById('out').src=URL.createObjectURL(b);
- document.getElementById('perf').textContent=
+ if(lastUrl)URL.revokeObjectURL(lastUrl);
+ lastUrl=URL.createObjectURL(b);
+ document.getElementById('out').src=lastUrl;
+ perf.textContent=
   'render '+ms+' ms (round-trip '+(performance.now()-t0).toFixed(0)+' ms)';}
 function arm(){clearTimeout(timer);timer=setTimeout(refresh,120);
  ['blend','psi','rotate','tx','ty'].forEach(i=>{const e=document.getElementById(i);
@@ -244,10 +265,10 @@ def make_handler(engine: RenderEngine):
                         has_transform=engine.has_transform,
                     )).encode())
                 elif url.path == "/api/layers":
-                    acts = engine.layer_activations(int(qs.get("seed", 0)))
+                    shapes = engine.layer_shapes()  # abstract: no compile/run
                     self._send(200, "application/json", json.dumps(dict(
-                        layers=[dict(name=k, shape=list(v.shape[1:]))
-                                for k, v in acts.items()])).encode())
+                        layers=[dict(name=k, shape=list(s[1:]))
+                                for k, s in shapes.items()])).encode())
                 elif url.path in ("/api/render", "/api/layer"):
                     args = dict(
                         seed=int(qs.get("seed", 0)),

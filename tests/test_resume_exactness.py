@@ -87,6 +87,7 @@ def test_resume_matches_uninterrupted(tmp_path):
          restored.emas_g, restored.opt_g, restored.opt_d,
          restored.pl_mean, restored.ada_p, restored.ada_signs))
     assert int(restored.cur_nimg) == int(state_a.cur_nimg) == 6 * BATCH
-    for la, lb in zip(leaves_a, leaves_b):
+    assert len(leaves_a) == len(leaves_b)  # a dropped leaf must FAIL, not truncate
+    for la, lb in zip(leaves_a, leaves_b, strict=True):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
                                    rtol=0, atol=0)

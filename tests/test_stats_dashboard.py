@@ -21,6 +21,10 @@ def _write_run(tmp_path):
         "results": {"fid1k": 44.0},
         "snapshot_path": "/x/checkpoints/state-00000125",
     }) + "\n")
+    (tmp_path / "metric-pr10k3.jsonl").write_text(json.dumps({
+        "results": {"pr10k3_precision": 0.6, "pr10k3_recall": 0.4},
+        "snapshot_path": "/x/checkpoints/state-00000125",
+    }) + "\n")
     return tmp_path
 
 
@@ -31,6 +35,10 @@ def test_read_series(tmp_path):
     assert s["loss_g"][0] == 1.0 and s["loss_d"][3] == 1.35
     assert s["metrics"]["fid1k"][0]["value"] == 44.0
     assert s["metrics"]["fid1k"][0]["snapshot"] == "state-00000125"
+    # multi-result metrics stay one series PER RESULT KEY, never interleaved
+    assert s["metrics"]["pr10k3_precision"] == [
+        {"value": 0.6, "snapshot": "state-00000125"}]
+    assert s["metrics"]["pr10k3_recall"][0]["value"] == 0.4
 
 
 def test_dashboard_http(tmp_path):
@@ -58,9 +66,11 @@ def test_parse_i2i_loss_log(tmp_path):
     (tmp_path / "loss_log.txt").write_text(
         "(epoch 1, iters 100) G_GAN: 0.812 G_L1: 12.300 D_real: 0.650\n"
         "End of epoch 1 \t Time: 12 sec\n"
-        "(epoch 2, iters 200) G_GAN: 0.700 G_L1: 11.000 D_real: 0.600\n"
+        "(epoch 2, iters 200) G_GAN: nan G_L1: 11.000 D_real: 0.600\n"
     )
     s = read_series(str(tmp_path))
-    assert s["extra"]["G_GAN"] == {"x": [100, 200], "y": [0.812, 0.7]}
+    # nan (divergence) becomes a null gap — browsers reject NaN JSON
+    assert s["extra"]["G_GAN"] == {"x": [100, 200], "y": [0.812, None]}
     assert s["extra"]["G_L1"]["y"] == [12.3, 11.0]
     assert set(s["extra"]) == {"G_GAN", "G_L1", "D_real"}
+    json.dumps(s, allow_nan=False)  # payload is strictly JSON-safe

@@ -87,9 +87,13 @@ def test_sg3_transform_slider_changes_image():
 def test_layer_activations_capture():
     g, v = _sg2()
     eng = RenderEngine(g, v, channels=1)
+    shapes = eng.layer_shapes()          # abstract listing: no compile/run
+    assert shapes and all(len(s) == 4 for s in shapes.values())
     acts = eng.layer_activations(seed=0, psi=0.8)
     assert acts, "no NHWC intermediates captured"
-    assert all(a.ndim == 4 for a in acts.values())
+    assert all(np.asarray(a).ndim == 4 for a in acts.values())
+    # the abstract table matches the concrete activations exactly
+    assert {k: tuple(np.asarray(a).shape) for k, a in acts.items()} == shapes
 
 
 def test_http_surface():
