@@ -17,10 +17,12 @@ run() {  # run <label> <env...> -- <cmd...>
 # 1. Pallas FIR microbench (per-shape GB/s vs XLA)
 run fir_micro timeout 3000 python scripts/bench_pallas_fir.py 64
 
-# 2. Step-level A/Bs
-run base           timeout 3000 python bench.py
-run flat_opt       env GANTRACK_FLAT_OPT=1 timeout 3000 python bench.py
-run pallas_fir     env GANTRACK_PALLAS_FIR=1 timeout 3000 python bench.py
-run both           env GANTRACK_FLAT_OPT=1 GANTRACK_PALLAS_FIR=1 timeout 3000 python bench.py
+# 2. Step-level A/Bs.  Each variant is a distinct HLO program: a cold
+# run is ~15 min of remote compile PER step variant (FF/TF/TT), so give
+# each bench up to 90 min; cache hits finish in ~2 min.
+run base           timeout 5400 python bench.py
+run flat_opt       env GANTRACK_FLAT_OPT=1 timeout 5400 python bench.py
+run pallas_fir     env GANTRACK_PALLAS_FIR=1 timeout 5400 python bench.py
+run both           env GANTRACK_FLAT_OPT=1 GANTRACK_PALLAS_FIR=1 timeout 5400 python bench.py
 
 echo "=== done $(date -u +%H:%M:%S) ===" | tee -a "$OUT"
