@@ -1,5 +1,16 @@
 """Pallas TPU kernel: depthwise separable FIR resampling, NHWC-native.
 
+PARKED (round 3, measured): on the v5e chip the ``up2`` form lowers and
+is exact but moves only ~68 GB/s vs ~264 GB/s for XLA's depthwise conv
+on the same shape (G-post-up 256² ×64: 8.0 ms vs 2.1 ms), and the
+``same``/``down2`` forms hit a hard Mosaic limitation — ``pl.Element``
+block specs with *low* padding ("Low padding not supported yet"), which
+the halo windows need whenever py0 > 0.  XLA's ~60%-of-peak depthwise
+FIR stands as the production lowering (`ops/upfirdn2d.py`); this kernel
+is kept correct (interpret-mode tests in ``tests/test_pallas_fir.py``)
+in case a later Mosaic release lifts the Element-padding limit and the
+bandwidth gap.  Reproduce with ``scripts/bench_pallas_fir.py``.
+
 The SG2/SG3 networks run ~30 small-tap FIR passes per train step (the
 ``conv2d_resample`` up/down chains, reference
 ``torch_utils/ops/upfirdn2d.py``).  They are pure bandwidth: ~16 taps of
@@ -50,6 +61,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Mosaic's default scoped-VMEM limit is 16 MB; the kernels' f32
+# intermediates (masked window + accumulator + shifted partials) run
+# ~2.5x the _pick_th estimate, so give them real headroom — v5e has
+# 128 MB of VMEM per core.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
 
 
 def _row_mask(r0, n_rows: int, h: int):
@@ -83,7 +101,7 @@ def _fir_same_kernel(x_ref, o_ref, *, taps_y, taps_x, py0, px0, h, th):
     """o[v,u,c] = Σ_{i,j} fy[i]·fx[j]·X[r0+v+i−py0, u+j−px0, c]."""
     r = pl.program_id(1)
     ky, kx = len(taps_y), len(taps_x)
-    win = x_ref[0]                                   # [th+ky-1, w, c]
+    win = x_ref[...]                                 # [th+ky-1, w, c]
     wo = o_ref.shape[2]
     mask = _row_mask(r * th - py0, th + ky - 1, h)
     winz = jnp.where(mask, win, 0).astype(jnp.float32)
@@ -100,14 +118,21 @@ def _fir_down2_kernel(x_ref, o_ref, *, taps_y, taps_x, py0, px0, h, th):
     """o[v,u,c] = Σ_{i,j} fy[i]·fx[j]·X[2(r0+v)+i−py0, 2u+j−px0, c]."""
     r = pl.program_id(1)
     ky, kx = len(taps_y), len(taps_x)
-    win = x_ref[0]                                   # [2·th+ky-1, w, c]
+    win = x_ref[...]                                 # [2·th+ky-1, w, c]
     c = win.shape[-1]
     wo = o_ref.shape[2]
     mask = _row_mask(2 * r * th - py0, 2 * th + ky - 1, h)
     winz = jnp.where(mask, win, 0).astype(jnp.float32)
-    acc = taps_y[0] * winz[0 : 2 * th : 2]
+    w = win.shape[1]
+
+    def _even_rows(i):
+        # rows i, i+2, …, i+2(th−1); a strided slice would lower to an
+        # unsupported Mosaic gather — pair-reshape the untiled dim instead.
+        return winz[i : i + 2 * th].reshape(th, 2, w, c)[:, 0]
+
+    acc = taps_y[0] * _even_rows(0)
     for i in range(1, ky):
-        acc = acc + taps_y[i] * winz[i : i + 2 * th : 2]        # [th, w, c]
+        acc = acc + taps_y[i] * _even_rows(i)                   # [th, w, c]
     t = taps_x[0] * _hshift(acc, -px0, 2 * wo)
     for j in range(1, kx):
         t = t + taps_x[j] * _hshift(acc, j - px0, 2 * wo)
@@ -121,7 +146,7 @@ def _fir_up2_kernel(x_ref, o_ref, *, taps_y, taps_x, py0, px0, h, th, s0):
     ``Z`` the ×2 zero-stuffed image (Z[2m]=X[m], rows and cols)."""
     r = pl.program_id(1)
     ky, kx = len(taps_y), len(taps_x)
-    win = x_ref[0]                                    # [n_in, w, c]
+    win = x_ref[...]                                  # [n_in, w, c]
     n_in, w_in, c = win.shape
     th2 = th // 2
     mask = _row_mask(r * th2 + s0, n_in, h)
@@ -182,8 +207,10 @@ def _ceil_to(x: int, m: int) -> int:
 
 def _pick_th(w: int, c: int, itemsize: int, rows_per_out: float, ky: int) -> int:
     """Largest TH (multiple of 8, ≤128) keeping in+out double-buffered
-    windows under ~10 MB of VMEM (plus f32 headroom for intermediates)."""
-    budget = 10 * 2**20
+    windows under ~20 MB of VMEM (plus f32 headroom for intermediates;
+    measured real usage is ~2.5x this estimate, against the 100 MB
+    scoped limit set in ``_COMPILER_PARAMS``)."""
+    budget = 20 * 2**20
     th = 128
     while th > 8:
         win_rows = int(th * rows_per_out) + ky
@@ -209,12 +236,16 @@ def _call_same(x, taps_y, taps_x, padding):
         functools.partial(_fir_same_kernel, taps_y=taps_y, taps_x=taps_x,
                           py0=py0, px0=px0, h=h, th=th),
         grid=(n, oh // th),
+        # Mosaic requires every non-squeezed dim of an element-indexed
+        # block to be Element; N is squeezed, W/C are full-extent windows.
         in_specs=[pl.BlockSpec(
-            (1, pl.Element(th + ky - 1, (py0, hi)), w, c),
+            (None, pl.Element(th + ky - 1, (py0, hi)),
+             pl.Element(w), pl.Element(c)),
             lambda b, r: (b, r * th, 0, 0))],
         out_specs=pl.BlockSpec((1, th, ow, c), lambda b, r: (b, r, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, oh, ow, c), x.dtype),
         interpret=INTERPRET,
+        compiler_params=_COMPILER_PARAMS,
     )(x)
     return out[:, :out_h, :out_w, :]
 
@@ -234,11 +265,13 @@ def _call_down2(x, taps_y, taps_x, padding):
                           py0=py0, px0=px0, h=h, th=th),
         grid=(n, oh // th),
         in_specs=[pl.BlockSpec(
-            (1, pl.Element(2 * th + ky - 1, (py0, hi)), w, c),
+            (None, pl.Element(2 * th + ky - 1, (py0, hi)),
+             pl.Element(w), pl.Element(c)),
             lambda b, r: (b, 2 * r * th, 0, 0))],
         out_specs=pl.BlockSpec((1, th, ow, c), lambda b, r: (b, r, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, oh, ow, c), x.dtype),
         interpret=INTERPRET,
+        compiler_params=_COMPILER_PARAMS,
     )(x)
     return out[:, :out_h, :out_w, :]
 
@@ -264,11 +297,13 @@ def _call_up2(x, taps_y, taps_x, padding):
                           py0=py0, px0=px0, h=h, th=th, s0=s0),
         grid=(n, oh // th),
         in_specs=[pl.BlockSpec(
-            (1, pl.Element(n_in, (-s0, hi)), w, c),
+            (None, pl.Element(n_in, (-s0, hi)),
+             pl.Element(w), pl.Element(c)),
             lambda b, r: (b, r * (th // 2), 0, 0))],
         out_specs=pl.BlockSpec((1, th, ow, c), lambda b, r: (b, r, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, oh, ow, c), x.dtype),
         interpret=INTERPRET,
+        compiler_params=_COMPILER_PARAMS,
     )(x)
     return out[:, :out_h, :out_w, :]
 

@@ -143,15 +143,6 @@ def _depthwise_conv(
     return out
 
 
-@functools.lru_cache(maxsize=1)
-def _pallas_fir_enabled() -> bool:
-    """Auto-dispatch gate for the Pallas FIR kernel (GANTRACK_PALLAS_FIR
-    =1/0 overrides).  Default off pending the on-chip A/B."""
-    import os
-
-    return os.environ.get("GANTRACK_PALLAS_FIR", "0") == "1"
-
-
 def upfirdn2d(
     x: jax.Array,
     f: Optional[jax.Array],
@@ -218,30 +209,11 @@ def upfirdn2d(
                 (padx0, padx1, pady0, pady1), flip_filter, gain, 0.5)
     assert impl != "matrix", "matrix impl requires a concrete separable filter"
 
-    # Pallas NHWC stencil kernel for the model-width resample FIRs
-    # (ops/pallas/fir.py): C stays on lanes, halo rides the untiled H dim.
-    # Env-gated until the on-chip A/B vs XLA's depthwise conv lands.
-    if (impl == "pallas" or (impl == "auto" and _pallas_fir_enabled()
-                             and x.shape[3] >= 8)) \
-            and f.size > 1 and not isinstance(f, jax.core.Tracer) \
-            and upx == upy and downx == downy \
-            and upx in (1, 2) and downx in (1, 2) \
-            and not (upx == 2 and downx == 2):
-        fc = np.asarray(f, np.float32)
-        if fc.ndim == 1:
-            taps_yx = (tuple(fc.tolist()),) * 2
-        else:
-            taps_yx = _rank1_taps(fc.tobytes(), fc.shape)
-        if taps_yx is not None:
-            from .pallas.fir import fir2d
-
-            return fir2d(
-                x, taps_yx[0], taps_yx[1], up=upx, down=downx,
-                padding=(pady0, pady1, padx0, padx1),
-                gain=gain, flip=flip_filter,
-            )
-    assert impl != "pallas", "pallas impl requires a concrete separable filter"
-
+    # NOTE (measured, round 3): a Pallas NHWC stencil kernel for the
+    # model-width resample FIRs (now ops/attic/fir.py) measured ~68 GB/s
+    # vs ~264 GB/s for this conv lowering on the hot up2 shape, and its
+    # same/down2 halo windows hit a Mosaic Element-low-padding limit —
+    # XLA's depthwise conv stands as the production lowering here.
     # NOTE (measured, round 3): decomposing a rank-1 2-D filter into two
     # 1-D depthwise passes (half the taps) LOSES on TPU (FF step 185 →
     # 208 ms): the FIR is HBM-bandwidth-bound, and two passes cost two

@@ -1,4 +1,9 @@
-"""A/B: Pallas depthwise FIR kernel vs XLA depthwise-conv lowering.
+"""A/B: Pallas depthwise FIR kernel (attic) vs XLA depthwise-conv lowering.
+
+RESULT (2026-08-18, v5e): the kernel LOST — up2 ran at 68 GB/s vs XLA's
+264 GB/s on G-post-up 256²×64 (8.0 vs 2.1 ms), and the same/down2 halo
+windows hit Mosaic "Low padding not supported yet" for pl.Element specs.
+The kernel is parked in ops/attic/fir.py; XLA's depthwise conv stands.
 
 Covers the SG2-ADA 256^2 recipe's hot FIR shapes (see
 docs/evidence/mxu_floor.md: ~25 ms/step of HBM-bound FIR passes at
@@ -41,7 +46,7 @@ def timed(fn, x, iters=64, windows=5):
 
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    from gantrack_tpu.ops.pallas.fir import fir2d
+    from gantrack_tpu.ops.attic.fir import fir2d
     from gantrack_tpu.ops.upfirdn2d import setup_filter, upfirdn2d
 
     f1 = [1.0, 3.0, 3.0, 1.0]

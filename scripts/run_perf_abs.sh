@@ -17,23 +17,16 @@ run() {  # run <label> <env...> -- <cmd...>; returns the command's status
   return "$st"
 }
 
-# 1. Pallas FIR microbench (per-shape GB/s vs XLA).  First real-Mosaic
-# run of ops/pallas/fir.py — if it fails to lower (lane-regroup reshapes
-# are the risk), skip the two PALLAS_FIR step benches instead of burning
-# hours of remote compile on a broken lever.
-run fir_micro timeout 3000 python scripts/bench_pallas_fir.py 64
-fir_ok=$?
+# MATRIX RESULT (2026-08-18, v5e): base 154.53 imgs/s (FF 189.6 ms);
+# flat_opt 154.28 — NEUTRAL (gate kept, harmless); pallas_fir — LOSS at
+# the microbench level (68 vs 264 GB/s; kernel parked in ops/attic/
+# fir.py, dispatch removed).  Kept runnable for future levers: add a
+# `run <label> env VAR=1 timeout 5400 python bench.py` line per lever.
 
-# 2. Step-level A/Bs.  Each variant is a distinct HLO program: a cold
+# Step-level A/Bs.  Each variant is a distinct HLO program: a cold
 # run is ~15 min of remote compile PER step variant (FF/TF/TT), so give
 # each bench up to 90 min; cache hits finish in ~2 min.
 run base           timeout 5400 python bench.py
 run flat_opt       env GANTRACK_FLAT_OPT=1 timeout 5400 python bench.py
-if [ "$fir_ok" -eq 0 ]; then
-  run pallas_fir   env GANTRACK_PALLAS_FIR=1 timeout 5400 python bench.py
-  run both         env GANTRACK_FLAT_OPT=1 GANTRACK_PALLAS_FIR=1 timeout 5400 python bench.py
-else
-  echo "[pallas_fir] SKIPPED: fir_micro failed (exit $fir_ok)" | tee -a "$OUT"
-fi
 
 echo "=== done $(date -u +%H:%M:%S) ===" | tee -a "$OUT"

@@ -13,8 +13,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from gantrack_tpu.ops import pallas as _p  # noqa: F401 (package import)
-from gantrack_tpu.ops.pallas import fir as fir_mod
+from gantrack_tpu.ops.attic import fir as fir_mod
 from gantrack_tpu.ops.upfirdn2d import setup_filter, upfirdn2d
 
 
@@ -113,17 +112,18 @@ def test_fir2d_bf16_f32_accumulation():
         (1, 1, (2, 2, 2, 2), 1.0, True),
     ],
 )
-def test_upfirdn2d_pallas_dispatch(up, down, padding, gain, flip):
-    """impl='pallas' through upfirdn2d == conv lowering (the dispatch path
-    the networks take when GANTRACK_PALLAS_FIR=1)."""
-    f = setup_filter([1, 3, 3, 1])
+def test_fir2d_setup_filter_taps(up, down, padding, gain, flip):
+    """fir2d fed the normalized setup_filter taps == the conv lowering
+    (the exact filter every network resample uses)."""
+    f = setup_filter([1, 3, 3, 1])  # normalized 2-D outer product
+    taps = tuple((np.asarray([1, 3, 3, 1], np.float32) / 8.0).tolist())
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.standard_normal((2, 16, 16, 8)).astype(np.float32))
     py0, py1, px0, px1 = padding
-    kw = dict(up=up, down=down, padding=[px0, px1, py0, py1],
-              gain=gain, flip_filter=flip)
-    ref = upfirdn2d(x, f, impl="conv", **kw)
-    got = upfirdn2d(x, f, impl="pallas", **kw)
+    ref = upfirdn2d(x, f, up=up, down=down, padding=[px0, px1, py0, py1],
+                    gain=gain, flip_filter=flip, impl="conv")
+    got = fir_mod.fir2d(x, taps, taps, up=up, down=down,
+                        padding=padding, gain=gain, flip=flip)
     assert got.shape == ref.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
