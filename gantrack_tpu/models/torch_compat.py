@@ -291,3 +291,70 @@ def unet_generator_params_from_torch(g_torch, num_downs: int) -> Dict[str, Any]:
 
     walk("model.", 0)
     return params
+
+
+def load_network_pickle(path: str, reference_path: str = None):
+    """Unpickle a reference ``network-snapshot-*.pkl`` → (G, D, G_ema).
+
+    Counterpart of the reference's ``legacy.load_network_pkl``
+    (``legacy.py:22-59``).  The snapshot embeds class source via
+    ``persistence.persistent_class`` which re-imports ``torch_utils``/
+    ``dnnlib`` — pass ``reference_path`` (a stylegan3 checkout) if those
+    packages aren't already importable.
+    """
+    import pickle
+    import sys
+
+    if reference_path:
+        sys.path.insert(0, reference_path)
+    import torch  # noqa: F401  (required by the pickle)
+
+    with open(path, "rb") as f:
+        data = pickle.load(f)
+    return data["G"], data["D"], data["G_ema"]
+
+
+def transplant_into_state(state, g_torch, d_torch, g_ema_torch):
+    """Copy reference network weights into an existing train state.
+
+    Reference resume semantics (``training_loop_mi_multimodal.py:199-204``
+    ``copy_params_and_buffers``): weights and buffers only — optimizer
+    moments, ADA p, and cur_nimg stay fresh.  The state's networks must
+    match the pickle's architecture; mismatches raise ``ValueError``
+    naming the offending leaf (the reference silently requires matching
+    names too).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    gv = jax.tree.map(jnp.asarray, generator_params_from_torch(g_torch))
+    gev = jax.tree.map(jnp.asarray, generator_params_from_torch(g_ema_torch))
+    dv = jax.tree.map(jnp.asarray, discriminator_params_from_torch(d_torch))
+
+    def check(name, have, want):
+        hl = jax.tree_util.tree_leaves_with_path(have)
+        wl = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(want)}
+        if len(hl) != len(wl):
+            raise ValueError(
+                f"{name}: pickle has {len(hl)} tensors, configured network "
+                f"has {len(wl)} — architecture flags (--cfg/--cbase/--cmax/"
+                f"--map-depth) must match the snapshot")
+        for k, v in hl:
+            ks = jax.tree_util.keystr(k)
+            if ks not in wl:
+                raise ValueError(f"{name}: unexpected tensor {ks}")
+            if tuple(v.shape) != tuple(wl[ks].shape):
+                raise ValueError(
+                    f"{name}{ks}: pickle shape {tuple(v.shape)} != "
+                    f"configured {tuple(wl[ks].shape)}")
+
+    check("params_g", gv["params"], state.params_g)
+    check("params_d", dv["params"], state.params_d)
+    return state.replace(
+        params_g=gv["params"],
+        params_g_ema=gev["params"],
+        params_d=dv["params"],
+        emas_g=gev["emas"],
+        consts_g={"noise_consts": gev["noise_consts"]},
+    )

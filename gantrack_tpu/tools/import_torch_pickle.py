@@ -12,12 +12,7 @@ pass ``--reference`` pointing at a stylegan3 checkout.
 
 from __future__ import annotations
 
-import os
-import pickle
-import sys
-
 import click
-import numpy as np
 
 
 @click.command()
@@ -28,22 +23,15 @@ import numpy as np
 def main(src, dst, reference):
     """Convert reference G/D/G_ema pickles into a gantrack train state."""
     import jax
-    import jax.numpy as jnp
-
-    if reference:
-        sys.path.insert(0, reference)
-    import torch  # noqa: F401  (needed by the pickle)
 
     from ..models.stylegan2 import Discriminator, Generator
     from ..models.torch_compat import (
-        discriminator_params_from_torch, generator_params_from_torch,
+        load_network_pickle, transplant_into_state,
     )
     from ..training import create_train_state, lazy_reg_adam
     from ..utils.checkpoint import save_checkpoint
 
-    with open(src, "rb") as f:
-        data = pickle.load(f)
-    g_t, d_t, g_ema_t = data["G"], data["D"], data["G_ema"]
+    g_t, d_t, g_ema_t = load_network_pickle(src, reference)
 
     res = g_t.img_resolution
     channels = g_t.img_channels
@@ -66,16 +54,7 @@ def main(src, dst, reference):
         z_dim=g_t.z_dim, c_dim=c_dim, img_resolution=res, img_channels=channels,
     )
 
-    gv = jax.tree.map(jnp.asarray, generator_params_from_torch(g_t))
-    gev = jax.tree.map(jnp.asarray, generator_params_from_torch(g_ema_t))
-    dv = jax.tree.map(jnp.asarray, discriminator_params_from_torch(d_t))
-    state = state.replace(
-        params_g=gv["params"],
-        params_g_ema=gev["params"],
-        params_d=dv["params"],
-        emas_g=gev["emas"],
-        consts_g={"noise_consts": gev["noise_consts"]},
-    )
+    state = transplant_into_state(state, g_t, d_t, g_ema_t)
     path = save_checkpoint(dst, state, step=0)
     print(f"wrote {path}")
 

@@ -275,9 +275,20 @@ def train(c, opts, run_dir, dataset_kwargs):
         z_dim=c.G.z_dim, c_dim=c_dim, img_resolution=res, img_channels=channels,
     )
     if opts.resume:
-        path = opts.resume if os.path.exists(opts.resume) else latest_checkpoint(opts.resume)
-        print(f"Resuming from {path}")
-        state = load_checkpoint(path, state)
+        if opts.resume.endswith((".pkl", ".pickle")):
+            # Reference network-snapshot pickle: weight transplant, fresh
+            # optimizer (reference resume semantics, legacy.py:22-59).
+            from ..models.torch_compat import (
+                load_network_pickle, transplant_into_state,
+            )
+
+            print(f"Resuming from reference pickle {opts.resume}")
+            state = transplant_into_state(
+                state, *load_network_pickle(opts.resume))
+        else:
+            path = opts.resume if os.path.exists(opts.resume) else latest_checkpoint(opts.resume)
+            print(f"Resuming from {path}")
+            state = load_checkpoint(path, state)
 
     augment_fn = None
     ada_target = None

@@ -66,3 +66,60 @@ def test_import_torch_pickle_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         leaves(state["emas_g"])[("mapping", "w_avg")],
         leaves(want["emas"])[("mapping", "w_avg")])
+
+
+@requires_reference
+def test_resume_transplants_reference_pickle(tmp_path):
+    """--resume=<pkl> path: weights transplant into a live train state
+    (reference resume semantics, legacy.py:22-59 + training_loop
+    copy_params_and_buffers); wrong architecture raises a named error."""
+    torch = pytest.importorskip("torch")
+    nets = import_reference_module("training.networks_stylegan2")
+
+    import jax
+    import jax.numpy as jnp
+
+    from gantrack_tpu.models.stylegan2 import Discriminator, Generator
+    from gantrack_tpu.models.torch_compat import (
+        generator_params_from_torch, load_network_pickle,
+        transplant_into_state,
+    )
+    from gantrack_tpu.training import create_train_state, lazy_reg_adam
+
+    torch.manual_seed(1)
+    kw = dict(z_dim=16, c_dim=0, w_dim=16, img_resolution=32, img_channels=1,
+              mapping_kwargs={"num_layers": 2},
+              channel_base=256, channel_max=64, num_fp16_res=0)
+    g_ref = nets.Generator(**kw).eval()
+    g_ema = nets.Generator(**kw).eval()
+    d_ref = nets.Discriminator(c_dim=0, img_resolution=32, img_channels=1,
+                               channel_base=256, channel_max=64,
+                               num_fp16_res=0).eval()
+    src = tmp_path / "network-snapshot-000123.pkl"
+    with open(src, "wb") as f:
+        pickle.dump({"G": g_ref, "D": d_ref, "G_ema": g_ema}, f)
+
+    def make_state(cbase):
+        g = Generator(z_dim=16, c_dim=0, w_dim=16, img_resolution=32,
+                      img_channels=1, mapping_kwargs=dict(num_layers=2),
+                      synthesis_kwargs=dict(channel_base=cbase))
+        d = Discriminator(c_dim=0, img_resolution=32, img_channels=1,
+                          channel_base=cbase)
+        return create_train_state(
+            g, d, jax.random.PRNGKey(0), lazy_reg_adam(0.0025, reg_interval=4),
+            lazy_reg_adam(0.0025, reg_interval=16),
+            z_dim=16, c_dim=0, img_resolution=32, img_channels=1)
+
+    state = transplant_into_state(
+        make_state(256), *load_network_pickle(str(src)))
+    want = generator_params_from_torch(g_ema)["params"]
+    got = state.params_g_ema
+    np.testing.assert_array_equal(
+        np.asarray(got["mapping"]["fc0"]["weight"]),
+        np.asarray(want["mapping"]["fc0"]["weight"],
+                   np.asarray(got["mapping"]["fc0"]["weight"]).dtype))
+    # optimizer state stays fresh (reference: weights/buffers only)
+    assert int(state.step) == 0
+
+    with pytest.raises(ValueError, match="params_g"):
+        transplant_into_state(make_state(512), *load_network_pickle(str(src)))
