@@ -302,12 +302,31 @@ def load_network_pickle(path: str, reference_path: str = None):
     ``dnnlib`` — pass ``reference_path`` (a stylegan3 checkout) if those
     packages aren't already importable.
     """
+    import os
     import pickle
     import sys
+    import types
 
-    if reference_path:
+    reference_path = reference_path or os.environ.get("GANTRACK_REFERENCE")
+    if reference_path and reference_path not in sys.path:
+        # Added here (not via PYTHONPATH) so the reference tree's generic
+        # module names (training, metrics, …) can't shadow anything
+        # during interpreter/backend startup.
         sys.path.insert(0, reference_path)
     import torch  # noqa: F401  (required by the pickle)
+
+    if "pkg_resources" not in sys.modules:
+        # The reference's ops import pkg_resources (gone from modern
+        # setuptools) just for parse_version; provide a stand-in so the
+        # persistent classes unpickle on current Pythons.
+        try:
+            import pkg_resources  # noqa: F401
+        except ImportError:
+            from packaging.version import parse as _parse_version
+
+            stub = types.ModuleType("pkg_resources")
+            stub.parse_version = _parse_version
+            sys.modules["pkg_resources"] = stub
 
     with open(path, "rb") as f:
         data = pickle.load(f)
@@ -358,3 +377,30 @@ def transplant_into_state(state, g_torch, d_torch, g_ema_torch):
         emas_g=gev["emas"],
         consts_g={"noise_consts": gev["noise_consts"]},
     )
+
+
+def state_dict_from_pickle(path: str, reference_path: str = None):
+    """Reference network pickle → the plain state dict every inference
+    tool consumes (``params_g_ema``/``emas_g``/``consts_g``/…), so
+    ``--network=<network-snapshot-*.pkl>`` works everywhere the
+    reference accepts one.  Detects SG2 vs SG3 from the synthesis tree
+    (SG3 carries a Fourier ``input`` module).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    g_t, d_t, g_ema_t = load_network_pickle(path, reference_path)
+    sg3 = hasattr(g_t.synthesis, "input")
+    conv = sg3_generator_params_from_torch if sg3 else generator_params_from_torch
+    gv = jax.tree.map(jnp.asarray, conv(g_t))
+    gev = jax.tree.map(jnp.asarray, conv(g_ema_t))
+    dv = jax.tree.map(jnp.asarray, discriminator_params_from_torch(d_t))
+    consts = ({"consts": gev["consts"]} if sg3
+              else {"noise_consts": gev["noise_consts"]})
+    return {
+        "params_g": gv["params"],
+        "params_g_ema": gev["params"],
+        "params_d": dv["params"],
+        "emas_g": gev["emas"],
+        "consts_g": consts,
+    }

@@ -63,7 +63,7 @@ def main(checkpoint, data, split, modalities, num, outdir, resolution, channels,
     import matplotlib.pyplot as plt
 
     from ..data.dataset import open_dataset
-    from ..utils.checkpoint import latest_checkpoint, load_checkpoint
+    from ..utils.checkpoint import resolve_network
     from .train import build_generator_from_cfg
 
     os.makedirs(outdir, exist_ok=True)
@@ -76,8 +76,7 @@ def main(checkpoint, data, split, modalities, num, outdir, resolution, channels,
 
     g = build_generator_from_cfg(cfg, resolution=ds.resolution, channels=ds.num_channels,
                                  c_dim=0, cbase=cbase, cmax=cmax)
-    path = latest_checkpoint(os.path.join(checkpoint, "checkpoints")) if os.path.isdir(checkpoint) else checkpoint
-    state = load_checkpoint(path, None)
+    state, path = resolve_network(checkpoint)
     vars_g = {
         "params": state["params_g_ema"],
         "emas": state["emas_g"],

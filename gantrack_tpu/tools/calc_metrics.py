@@ -42,7 +42,7 @@ def main(checkpoint, metrics, data, split, modalities, mirror, detector_weights,
     from ..data.dataset import open_dataset
     from ..metrics import MetricOptions, calc_metric, make_inception_detector, report_metric
     from ..metrics.registry import is_valid_metric, list_valid_metrics
-    from ..utils.checkpoint import latest_checkpoint, load_checkpoint
+    from ..utils.checkpoint import resolve_network
     from .train import build_generator_from_cfg
 
     metric_list = [m for m in metrics.split(",") if m]
@@ -65,12 +65,10 @@ def main(checkpoint, metrics, data, split, modalities, mirror, detector_weights,
         cfg, resolution=dataset.resolution, channels=dataset.num_channels,
         c_dim=c_dim, cbase=cbase, cmax=cmax, map_depth=map_depth,
     )
-    path = checkpoint if os.path.basename(checkpoint).startswith("state-") else latest_checkpoint(
-        os.path.join(checkpoint, "checkpoints") if os.path.isdir(checkpoint) else checkpoint
-    )
-    run_dir = os.path.dirname(os.path.dirname(path)) if path else None
+    state, path = resolve_network(checkpoint)
+    run_dir = (os.path.dirname(os.path.dirname(path))
+               if path and not path.endswith((".pkl", ".pickle")) else None)
     print(f"Loading {path}")
-    state = load_checkpoint(path, None)
     vars_g = {
         "params": state["params_g_ema"],
         "emas": state["emas_g"],

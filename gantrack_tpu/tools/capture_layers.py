@@ -97,20 +97,17 @@ def main(checkpoint, seeds, truncation_psi, layer_regex, outdir, save_pngs,
     """List or dump per-layer generator activations for seed sweeps."""
     import jax
 
-    from ..utils.checkpoint import latest_checkpoint, load_checkpoint
+    from ..utils.checkpoint import resolve_network
     from .train import build_generator_from_cfg
 
     g = build_generator_from_cfg(
         cfg, resolution=resolution, channels=channels, c_dim=0,
         cbase=cbase, cmax=cmax, map_depth=map_depth, z_dim=z_dim, w_dim=w_dim,
     )
-    path = checkpoint if os.path.basename(checkpoint).startswith("state-") else latest_checkpoint(
-        os.path.join(checkpoint, "checkpoints") if os.path.isdir(checkpoint) else checkpoint
-    )
-    if path is None:
+    state, path = resolve_network(checkpoint)
+    if state is None:
         raise click.ClickException(f"no checkpoint found under {checkpoint}")
     print(f"Loading {path}")
-    state = load_checkpoint(path, None)
     vars_g = {
         "params": state["params_g_ema"],
         "emas": state["emas_g"],

@@ -75,7 +75,7 @@ def main(checkpoint, seeds, truncation_psi, trunc_cutoff, class_idx, translate, 
     import jax.numpy as jnp
     from PIL import Image
 
-    from ..utils.checkpoint import latest_checkpoint, load_checkpoint
+    from ..utils.checkpoint import resolve_network
     from .train import build_generator_from_cfg
 
     os.makedirs(outdir, exist_ok=True)
@@ -83,13 +83,10 @@ def main(checkpoint, seeds, truncation_psi, trunc_cutoff, class_idx, translate, 
         cfg, resolution=resolution, channels=channels, c_dim=0,
         cbase=cbase, cmax=cmax, map_depth=map_depth,
     )
-    path = checkpoint if os.path.basename(checkpoint).startswith("state-") else latest_checkpoint(
-        os.path.join(checkpoint, "checkpoints") if os.path.isdir(checkpoint) else checkpoint
-    )
-    if path is None:
+    state, path = resolve_network(checkpoint)
+    if state is None:
         raise click.ClickException(f"no checkpoint found under {checkpoint}")
     print(f"Loading {path}")
-    state = load_checkpoint(path, None)
     vars_g = {
         "params": state["params_g_ema"],
         "emas": state["emas_g"],

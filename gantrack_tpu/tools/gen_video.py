@@ -36,7 +36,7 @@ def main(checkpoint, seeds, grid_dims, num_keyframes, w_frames, truncation_psi,
     import jax.numpy as jnp
     import scipy.interpolate
 
-    from ..utils.checkpoint import latest_checkpoint, load_checkpoint
+    from ..utils.checkpoint import resolve_network
     from .train import build_generator_from_cfg
 
     gw, gh = (int(v) for v in grid_dims.split("x"))
@@ -46,8 +46,7 @@ def main(checkpoint, seeds, grid_dims, num_keyframes, w_frames, truncation_psi,
 
     g = build_generator_from_cfg(cfg, resolution=resolution, channels=channels,
                                  c_dim=0, cbase=cbase, cmax=cmax)
-    path = latest_checkpoint(os.path.join(checkpoint, "checkpoints")) if os.path.isdir(checkpoint) else checkpoint
-    state = load_checkpoint(path, None)
+    state, path = resolve_network(checkpoint)
     vars_g = {
         "params": state["params_g_ema"],
         "emas": state["emas_g"],

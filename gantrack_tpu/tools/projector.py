@@ -380,18 +380,15 @@ def main():
             w_lpips, step_patient_slice, max_items, vgg_weights, resolution,
             channels, g_cfg, cbase, cmax, optimize_noise):
         from ..data.dataset import open_dataset
-        from ..utils.checkpoint import latest_checkpoint, load_checkpoint
+        from ..utils.checkpoint import resolve_network
         from .train import build_generator_from_cfg
 
         g = build_generator_from_cfg(
             g_cfg, resolution=resolution, channels=channels, c_dim=0,
             cbase=cbase, cmax=cmax)
-        path = network if os.path.basename(network).startswith("state-") else \
-            latest_checkpoint(os.path.join(network, "checkpoints")
-                              if os.path.isdir(network) else network)
-        if path is None:
+        state, path = resolve_network(network)
+        if state is None:
             raise click.ClickException(f"no checkpoint found under {network}")
-        state = load_checkpoint(path, None)
         vars_g = {"params": state["params_g_ema"], "emas": state["emas_g"],
                   **state["consts_g"]}
         dataset = open_dataset(data, split=split)

@@ -33,14 +33,13 @@ def main(checkpoint, row_seeds, col_seeds, col_styles, truncation_psi, outdir,
     import jax.numpy as jnp
     from PIL import Image
 
-    from ..utils.checkpoint import latest_checkpoint, load_checkpoint
+    from ..utils.checkpoint import resolve_network
     from .train import build_generator_from_cfg
 
     os.makedirs(outdir, exist_ok=True)
     g = build_generator_from_cfg(cfg, resolution=resolution, channels=channels,
                                  c_dim=0, cbase=cbase, cmax=cmax)
-    path = latest_checkpoint(os.path.join(checkpoint, "checkpoints")) if os.path.isdir(checkpoint) else checkpoint
-    state = load_checkpoint(path, None)
+    state, path = resolve_network(checkpoint)
     vars_g = {
         "params": state["params_g_ema"],
         "emas": state["emas_g"],

@@ -71,3 +71,26 @@ def save_image_grid(images: np.ndarray, path: str, drange=(-1, 1),
         Image.fromarray(pair, "L").save(path)
     else:
         Image.fromarray(grid, "RGB").save(path)
+
+
+def resolve_network(checkpoint: str):
+    """Resolve a ``--network`` argument to ``(state dict, path)``.
+
+    Accepts an orbax ``state-*`` path, a run dir (latest snapshot under
+    its ``checkpoints/``), a checkpoints dir, or a reference
+    ``network-snapshot-*.pkl`` converted on the fly (parity with the
+    reference, whose every tool consumes pickles via
+    ``legacy.load_network_pkl``).  Returns ``(None, None)`` when no
+    checkpoint is found.
+    """
+    if checkpoint.endswith((".pkl", ".pickle")):
+        from ..models.torch_compat import state_dict_from_pickle
+
+        return state_dict_from_pickle(checkpoint), checkpoint
+    path = (checkpoint if os.path.basename(checkpoint).startswith("state-")
+            else latest_checkpoint(
+                os.path.join(checkpoint, "checkpoints")
+                if os.path.isdir(checkpoint) else checkpoint))
+    if path is None:
+        return None, None
+    return load_checkpoint(path, None), path

@@ -123,3 +123,47 @@ def test_resume_transplants_reference_pickle(tmp_path):
 
     with pytest.raises(ValueError, match="params_g"):
         transplant_into_state(make_state(512), *load_network_pickle(str(src)))
+
+
+@requires_reference
+def test_resolve_network_accepts_pickle(tmp_path):
+    """Every inference tool's --network resolves reference pickles via
+    utils.checkpoint.resolve_network (parity: the reference's tools all
+    consume legacy.load_network_pkl pickles)."""
+    torch = pytest.importorskip("torch")
+    nets = import_reference_module("training.networks_stylegan2")
+
+    from gantrack_tpu.utils.checkpoint import resolve_network
+
+    torch.manual_seed(2)
+    kw = dict(z_dim=16, c_dim=0, w_dim=16, img_resolution=32, img_channels=1,
+              mapping_kwargs={"num_layers": 2},
+              channel_base=256, channel_max=64, num_fp16_res=0)
+    src = tmp_path / "network-snapshot-000007.pkl"
+    with open(src, "wb") as f:
+        pickle.dump({"G": nets.Generator(**kw).eval(),
+                     "D": nets.Discriminator(
+                         c_dim=0, img_resolution=32, img_channels=1,
+                         channel_base=256, channel_max=64,
+                         num_fp16_res=0).eval(),
+                     "G_ema": nets.Generator(**kw).eval()}, f)
+
+    state, path = resolve_network(str(src))
+    assert path == str(src)
+    for key in ("params_g_ema", "emas_g", "consts_g", "params_g", "params_d"):
+        assert key in state, key
+    assert "noise_consts" in state["consts_g"]
+
+    # the tools' vars_g assembly + a forward pass works off this state
+    import jax
+    import jax.numpy as jnp
+
+    from gantrack_tpu.models.stylegan2 import Generator
+
+    g = Generator(z_dim=16, c_dim=0, w_dim=16, img_resolution=32,
+                  img_channels=1, mapping_kwargs=dict(num_layers=2),
+                  synthesis_kwargs=dict(channel_base=256))
+    vars_g = {"params": state["params_g_ema"], "emas": state["emas_g"],
+              **state["consts_g"]}
+    img = g.apply(vars_g, jnp.zeros((1, 16)), None, noise_mode="const")
+    assert img.shape == (1, 32, 32, 1) and bool(jnp.isfinite(img).all())
