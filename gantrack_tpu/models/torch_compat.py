@@ -404,3 +404,22 @@ def state_dict_from_pickle(path: str, reference_path: str = None):
         "emas_g": gev["emas"],
         "consts_g": consts,
     }
+
+
+def i2i_generator_params_from_pth(path: str, netg: str = "resnet_9blocks"):
+    """Reference CycleGAN/pix2pix ``<epoch>_net_G*.pth`` state dict
+    (``base_model.py`` save_networks) → flax generator params, so
+    ``test_i2i`` can consume reference-trained checkpoints directly."""
+    import types
+
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    shim = types.SimpleNamespace(state_dict=lambda: dict(sd))
+    if netg.startswith("resnet"):
+        return resnet_generator_params_from_torch(
+            shim, n_blocks=9 if "9" in netg else 6)
+    if netg.startswith("unet"):
+        return unet_generator_params_from_torch(
+            shim, num_downs=8 if netg == "unet_256" else 7)
+    raise ValueError(f".pth import supports resnet_*/unet_* netG, got {netg!r}")

@@ -94,10 +94,31 @@ def main(dataroot, name, model_kind, dataset_mode, direction, phase, input_nc,
 
     run_dir = os.path.join(checkpoints_dir, name)
     path = latest_checkpoint(os.path.join(run_dir, "checkpoints"))
-    if path is None:
-        raise click.ClickException(f"no checkpoint under {run_dir}/checkpoints")
-    print(f"Loading {path}")
-    state = load_checkpoint(path, None)
+    if path is not None:
+        print(f"Loading {path}")
+        state = load_checkpoint(path, None)
+    else:
+        # Reference layout: <checkpoints_dir>/<name>/latest_net_G*.pth
+        # (base_model.save_networks state dicts) — convert on the fly so
+        # reference-trained CycleGAN/pix2pix runs translate directly.
+        from ..models.torch_compat import i2i_generator_params_from_pth
+
+        def pth(suffix):
+            return os.path.join(run_dir, f"latest_net_{suffix}.pth")
+
+        if model_kind == "cycle_gan" and os.path.exists(pth("G_A")):
+            print(f"Loading reference checkpoints {pth('G_A')} / {pth('G_B')}")
+            state = {
+                "params_g_a": i2i_generator_params_from_pth(pth("G_A"), netg),
+                "params_g_b": i2i_generator_params_from_pth(pth("G_B"), netg),
+            }
+        elif os.path.exists(pth("G")):
+            print(f"Loading reference checkpoint {pth('G')}")
+            state = {"params_g": i2i_generator_params_from_pth(pth("G"), netg)}
+        else:
+            raise click.ClickException(
+                f"no checkpoint under {run_dir}/checkpoints and no "
+                f"latest_net_G*.pth in {run_dir}")
 
     g_a = define_G(output_nc, ngf, netg)
     fwd_a = jax.jit(lambda p, x: g_a.apply({"params": p}, x, deterministic=True))

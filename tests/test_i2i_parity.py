@@ -143,3 +143,62 @@ def test_unet_generator_transplant_parity():
         np.asarray(got), np.transpose(want.numpy(), (0, 2, 3, 1)),
         rtol=1e-3, atol=1e-4,
     )
+
+
+@requires_reference
+def test_test_i2i_consumes_reference_pth(tmp_path):
+    """test_i2i translates from a reference-layout checkpoint dir
+    (<name>/latest_net_G_A.pth state dicts, base_model.save_networks) —
+    artifact-migration parity for the i2i family."""
+    import functools
+
+    from click.testing import CliRunner
+    from PIL import Image
+
+    from gantrack_tpu.models.torch_compat import (
+        i2i_generator_params_from_pth, resnet_generator_params_from_torch,
+    )
+
+    nets = _ref_networks()
+    torch.manual_seed(0)
+    norm = functools.partial(torch.nn.InstanceNorm2d, affine=False,
+                             track_running_stats=False)
+    run_dir = tmp_path / "ckpt" / "t"
+    run_dir.mkdir(parents=True)
+    refs = {}
+    for side in ("G_A", "G_B"):
+        g_ref = nets.ResnetGenerator(3, 3, ngf=8, norm_layer=norm,
+                                     n_blocks=9).eval()
+        torch.save(g_ref.state_dict(), run_dir / f"latest_net_{side}.pth")
+        refs[side] = g_ref
+
+    # converter equivalence: .pth file == live module conversion
+    got = i2i_generator_params_from_pth(
+        str(run_dir / "latest_net_G_A.pth"), "resnet_9blocks")
+    want = resnet_generator_params_from_torch(refs["G_A"], n_blocks=9)
+    flat_g = jax.tree_util.tree_leaves_with_path(got)
+    flat_w = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(want)}
+    assert len(flat_g) == len(flat_w) > 10
+    for k, v in flat_g:
+        np.testing.assert_array_equal(v, flat_w[jax.tree_util.keystr(k)])
+
+    rng = np.random.default_rng(0)
+    for side in "AB":
+        d = tmp_path / "data" / f"test{side}"
+        d.mkdir(parents=True)
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8),
+                        "RGB").save(d / "im0.png")
+
+    from gantrack_tpu.tools.test_i2i import main as test_main
+
+    r = CliRunner().invoke(test_main, [
+        "--dataroot", str(tmp_path / "data"), "--name", "t",
+        "--model", "cycle_gan", "--ngf", "8", "--load-size", "32",
+        "--num-test", "1", "--checkpoints-dir", str(tmp_path / "ckpt"),
+        "--results-dir", str(tmp_path / "results"),
+    ], catch_exceptions=False)
+    assert r.exit_code == 0, r.output
+    web = tmp_path / "results" / "t" / "test_latest"
+    assert (web / "index.html").exists()
+    assert any("fake_B" in p.name for p in (web / "images").glob("*.png"))
