@@ -167,3 +167,33 @@ def test_resolve_network_accepts_pickle(tmp_path):
               **state["consts_g"]}
     img = g.apply(vars_g, jnp.zeros((1, 16)), None, noise_mode="const")
     assert img.shape == (1, 32, 32, 1) and bool(jnp.isfinite(img).all())
+
+
+@requires_reference
+def test_resolve_network_detects_sg3_pickle(tmp_path):
+    """resolve_network converts StyleGAN3 pickles too (Fourier-input
+    detection → sg3 converter; consts_g carries the consts collection)."""
+    torch = pytest.importorskip("torch")
+    sg3 = import_reference_module("training.networks_stylegan3")
+    sg2 = import_reference_module("training.networks_stylegan2")
+
+    from gantrack_tpu.utils.checkpoint import resolve_network
+
+    torch.manual_seed(4)
+    g_kw = dict(z_dim=16, c_dim=0, w_dim=16, img_resolution=32,
+                img_channels=1, mapping_kwargs={"num_layers": 2},
+                channel_base=256, channel_max=64, num_fp16_res=0)
+    src = tmp_path / "network-snapshot-000009.pkl"
+    with open(src, "wb") as f:
+        pickle.dump({"G": sg3.Generator(**g_kw).eval(),
+                     "D": sg2.Discriminator(
+                         c_dim=0, img_resolution=32, img_channels=1,
+                         channel_base=256, channel_max=64,
+                         num_fp16_res=0).eval(),
+                     "G_ema": sg3.Generator(**g_kw).eval()}, f)
+
+    state, _ = resolve_network(str(src))
+    assert "consts" in state["consts_g"]
+    assert "input" in state["consts_g"]["consts"]["synthesis"]
+    assert "magnitude_ema" in next(iter(
+        v for k, v in state["emas_g"]["synthesis"].items()))
