@@ -308,10 +308,11 @@ def load_network_pickle(path: str, reference_path: str = None):
     import types
 
     reference_path = reference_path or os.environ.get("GANTRACK_REFERENCE")
-    if reference_path and reference_path not in sys.path:
-        # Added here (not via PYTHONPATH) so the reference tree's generic
-        # module names (training, metrics, …) can't shadow anything
-        # during interpreter/backend startup.
+    added_path = bool(reference_path) and reference_path not in sys.path
+    if added_path:
+        # Added only around the unpickle (not via PYTHONPATH, not left in
+        # place) so the reference tree's generic module names (training,
+        # metrics, …) can't shadow later imports in this process.
         sys.path.insert(0, reference_path)
     import torch  # noqa: F401  (required by the pickle)
 
@@ -328,8 +329,15 @@ def load_network_pickle(path: str, reference_path: str = None):
             stub.parse_version = _parse_version
             sys.modules["pkg_resources"] = stub
 
-    with open(path, "rb") as f:
-        data = pickle.load(f)
+    try:
+        with open(path, "rb") as f:
+            data = pickle.load(f)
+    finally:
+        if added_path:
+            try:
+                sys.path.remove(reference_path)
+            except ValueError:
+                pass
     return data["G"], data["D"], data["G_ema"]
 
 
@@ -346,8 +354,13 @@ def transplant_into_state(state, g_torch, d_torch, g_ema_torch):
     import jax
     import jax.numpy as jnp
 
-    gv = jax.tree.map(jnp.asarray, generator_params_from_torch(g_torch))
-    gev = jax.tree.map(jnp.asarray, generator_params_from_torch(g_ema_torch))
+    # SG3 generators carry a Fourier input module; pick the converter and
+    # the consts collection accordingly (same detection as
+    # ``state_dict_from_pickle``).
+    sg3 = hasattr(g_torch.synthesis, "input")
+    conv = sg3_generator_params_from_torch if sg3 else generator_params_from_torch
+    gv = jax.tree.map(jnp.asarray, conv(g_torch))
+    gev = jax.tree.map(jnp.asarray, conv(g_ema_torch))
     dv = jax.tree.map(jnp.asarray, discriminator_params_from_torch(d_torch))
 
     def check(name, have, want):
@@ -375,7 +388,8 @@ def transplant_into_state(state, g_torch, d_torch, g_ema_torch):
         params_g_ema=gev["params"],
         params_d=dv["params"],
         emas_g=gev["emas"],
-        consts_g={"noise_consts": gev["noise_consts"]},
+        consts_g=({"consts": gev["consts"]} if sg3
+                  else {"noise_consts": gev["noise_consts"]}),
     )
 
 

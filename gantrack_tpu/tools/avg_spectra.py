@@ -77,6 +77,8 @@ def main(checkpoint, data, split, modalities, num, outdir, resolution, channels,
     g = build_generator_from_cfg(cfg, resolution=ds.resolution, channels=ds.num_channels,
                                  c_dim=0, cbase=cbase, cmax=cmax)
     state, path = resolve_network(checkpoint)
+    if state is None:
+        raise click.ClickException(f"no checkpoint found under {checkpoint}")
     vars_g = {
         "params": state["params_g_ema"],
         "emas": state["emas_g"],

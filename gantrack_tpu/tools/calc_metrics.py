@@ -66,8 +66,10 @@ def main(checkpoint, metrics, data, split, modalities, mirror, detector_weights,
         c_dim=c_dim, cbase=cbase, cmax=cmax, map_depth=map_depth,
     )
     state, path = resolve_network(checkpoint)
+    if state is None:
+        raise click.ClickException(f"no checkpoint found under {checkpoint}")
     run_dir = (os.path.dirname(os.path.dirname(path))
-               if path and not path.endswith((".pkl", ".pickle")) else None)
+               if not path.endswith((".pkl", ".pickle")) else None)
     print(f"Loading {path}")
     vars_g = {
         "params": state["params_g_ema"],

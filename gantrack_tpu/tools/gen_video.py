@@ -47,6 +47,8 @@ def main(checkpoint, seeds, grid_dims, num_keyframes, w_frames, truncation_psi,
     g = build_generator_from_cfg(cfg, resolution=resolution, channels=channels,
                                  c_dim=0, cbase=cbase, cmax=cmax)
     state, path = resolve_network(checkpoint)
+    if state is None:
+        raise click.ClickException(f"no checkpoint found under {checkpoint}")
     vars_g = {
         "params": state["params_g_ema"],
         "emas": state["emas_g"],

@@ -40,6 +40,8 @@ def main(checkpoint, row_seeds, col_seeds, col_styles, truncation_psi, outdir,
     g = build_generator_from_cfg(cfg, resolution=resolution, channels=channels,
                                  c_dim=0, cbase=cbase, cmax=cmax)
     state, path = resolve_network(checkpoint)
+    if state is None:
+        raise click.ClickException(f"no checkpoint found under {checkpoint}")
     vars_g = {
         "params": state["params_g_ema"],
         "emas": state["emas_g"],

@@ -112,7 +112,7 @@ def main(dataroot, name, model_kind, dataset_mode, direction, phase, input_nc,
                 "params_g_a": i2i_generator_params_from_pth(pth("G_A"), netg),
                 "params_g_b": i2i_generator_params_from_pth(pth("G_B"), netg),
             }
-        elif os.path.exists(pth("G")):
+        elif model_kind != "cycle_gan" and os.path.exists(pth("G")):
             print(f"Loading reference checkpoint {pth('G')}")
             state = {"params_g": i2i_generator_params_from_pth(pth("G"), netg)}
         else:

@@ -213,7 +213,7 @@ def train(c, opts, run_dir, dataset_kwargs):
     from ..training.loop import training_loop
     from ..metrics import MetricOptions, calc_metric, make_inception_detector, report_metric
     from ..metrics.metric_utils import auto_metric_batch
-    from ..utils.checkpoint import latest_checkpoint, load_checkpoint
+    from ..utils.checkpoint import load_checkpoint, resolve_checkpoint_path
     import optax
 
     dataset = open_dataset(opts.data, **dataset_kwargs)
@@ -286,7 +286,10 @@ def train(c, opts, run_dir, dataset_kwargs):
             state = transplant_into_state(
                 state, *load_network_pickle(opts.resume))
         else:
-            path = opts.resume if os.path.exists(opts.resume) else latest_checkpoint(opts.resume)
+            path = resolve_checkpoint_path(opts.resume)
+            if path is None:
+                raise click.ClickException(
+                    f"--resume: no checkpoint found under {opts.resume}")
             print(f"Resuming from {path}")
             state = load_checkpoint(path, state)
 

@@ -73,11 +73,25 @@ def save_image_grid(images: np.ndarray, path: str, drange=(-1, 1),
         Image.fromarray(grid, "RGB").save(path)
 
 
+def resolve_checkpoint_path(checkpoint: str) -> Optional[str]:
+    """Resolve a checkpoint argument to a concrete ``state-*`` path.
+
+    Accepts a ``state-*`` path itself, a run dir (latest snapshot under
+    its ``checkpoints/``), or a directory holding ``state-*`` entries
+    directly.  Returns ``None`` when nothing is found.
+    """
+    if os.path.basename(checkpoint).startswith("state-"):
+        return checkpoint if os.path.isdir(checkpoint) else None
+    if os.path.isdir(checkpoint):
+        return (latest_checkpoint(os.path.join(checkpoint, "checkpoints"))
+                or latest_checkpoint(checkpoint))
+    return None
+
+
 def resolve_network(checkpoint: str):
     """Resolve a ``--network`` argument to ``(state dict, path)``.
 
-    Accepts an orbax ``state-*`` path, a run dir (latest snapshot under
-    its ``checkpoints/``), a checkpoints dir, or a reference
+    Accepts anything :func:`resolve_checkpoint_path` does, or a reference
     ``network-snapshot-*.pkl`` converted on the fly (parity with the
     reference, whose every tool consumes pickles via
     ``legacy.load_network_pkl``).  Returns ``(None, None)`` when no
@@ -87,10 +101,7 @@ def resolve_network(checkpoint: str):
         from ..models.torch_compat import state_dict_from_pickle
 
         return state_dict_from_pickle(checkpoint), checkpoint
-    path = (checkpoint if os.path.basename(checkpoint).startswith("state-")
-            else latest_checkpoint(
-                os.path.join(checkpoint, "checkpoints")
-                if os.path.isdir(checkpoint) else checkpoint))
+    path = resolve_checkpoint_path(checkpoint)
     if path is None:
         return None, None
     return load_checkpoint(path, None), path

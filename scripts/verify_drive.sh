@@ -1,5 +1,8 @@
+#!/usr/bin/env bash
+# End-to-end smoke drive: dataset -> dry-run -> 1-kimg train (+fid1k)
+# -> gen_images -> calc_metrics.  Prints VERIFY DRIVE PASSED on success.
 set -e
-cd /root/repo
+cd "$(dirname "$0")/.."
 rm -rf /tmp/vdata /tmp/vruns /tmp/vgen
 python - <<'EOF'
 import numpy as np, sys; sys.path.insert(0, ".")

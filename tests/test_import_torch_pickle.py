@@ -197,3 +197,47 @@ def test_resolve_network_detects_sg3_pickle(tmp_path):
     assert "input" in state["consts_g"]["consts"]["synthesis"]
     assert "magnitude_ema" in next(iter(
         v for k, v in state["emas_g"]["synthesis"].items()))
+
+
+@requires_reference
+def test_resume_transplants_sg3_pickle(tmp_path):
+    """--resume with a StyleGAN3 pickle picks the SG3 converter and
+    carries the consts collection (not SG2's noise_consts)."""
+    torch = pytest.importorskip("torch")
+    sg3 = import_reference_module("training.networks_stylegan3")
+    sg2 = import_reference_module("training.networks_stylegan2")
+
+    import jax
+
+    from gantrack_tpu.models.torch_compat import (
+        load_network_pickle, transplant_into_state,
+    )
+    from gantrack_tpu.tools.train import build_generator_from_cfg
+    from gantrack_tpu.models.stylegan2 import Discriminator
+    from gantrack_tpu.training import create_train_state, lazy_reg_adam
+
+    torch.manual_seed(5)
+    g_kw = dict(z_dim=16, c_dim=0, w_dim=16, img_resolution=32,
+                img_channels=1, mapping_kwargs={"num_layers": 2},
+                channel_base=256, channel_max=64, num_fp16_res=0)
+    src = tmp_path / "network-snapshot-000011.pkl"
+    with open(src, "wb") as f:
+        pickle.dump({"G": sg3.Generator(**g_kw).eval(),
+                     "D": sg2.Discriminator(
+                         c_dim=0, img_resolution=32, img_channels=1,
+                         channel_base=256, channel_max=64,
+                         num_fp16_res=0).eval(),
+                     "G_ema": sg3.Generator(**g_kw).eval()}, f)
+
+    g = build_generator_from_cfg(
+        "stylegan3-t", resolution=32, channels=1, c_dim=0, cbase=256,
+        cmax=64, map_depth=2, fp32=True, z_dim=16, w_dim=16)
+    d = Discriminator(c_dim=0, img_resolution=32, img_channels=1,
+                      channel_base=256, channel_max=64)
+    state = create_train_state(
+        g, d, jax.random.PRNGKey(0), lazy_reg_adam(0.0025, reg_interval=4),
+        lazy_reg_adam(0.0025, reg_interval=16),
+        z_dim=16, c_dim=0, img_resolution=32, img_channels=1)
+    state = transplant_into_state(state, *load_network_pickle(str(src)))
+    assert "consts" in state.consts_g
+    assert "input" in state.consts_g["consts"]["synthesis"]
