@@ -210,6 +210,7 @@ class SynthesisLayer(nn.Module):
         noise_mode: str = "random",
         gain: float = 1.0,
         fused_modconv: bool = False,
+        sample_idx: Optional[jax.Array] = None,
     ) -> jax.Array:
         assert noise_mode in ("random", "const", "none")
         in_channels = x.shape[-1]
@@ -228,9 +229,21 @@ class SynthesisLayer(nn.Module):
             )
             if noise_mode == "random":
                 key = self.make_rng("noise")
-                noise = jax.random.normal(
-                    key, (x.shape[0], self.resolution, self.resolution, 1), jnp.float32
-                ) * strength
+                if sample_idx is not None:
+                    # Mesh-size-invariant draw: key each row's noise plane by
+                    # its GLOBAL sample index (the layer key is already
+                    # path-unique per flax's rng folding), so 1-dev and N-dev
+                    # runs of the same global batch see identical noise —
+                    # lets the numeric invariance check run the production
+                    # noise_mode (tests/test_train_step.py).
+                    noise = jax.vmap(lambda i: jax.random.normal(
+                        jax.random.fold_in(key, i),
+                        (self.resolution, self.resolution, 1), jnp.float32,
+                    ))(sample_idx) * strength
+                else:
+                    noise = jax.random.normal(
+                        key, (x.shape[0], self.resolution, self.resolution, 1), jnp.float32
+                    ) * strength
             elif noise_mode == "const":
                 noise = (noise_const.value * strength)[None, :, :, None]
 
@@ -304,6 +317,7 @@ class SynthesisBlock(nn.Module):
         force_fp32: bool = False,
         fused_modconv: bool = False,
         noise_mode: str = "random",
+        sample_idx: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
         assert self.architecture in ("orig", "skip", "resnet")
         assert ws.shape[1] == self.num_conv + self.num_torgb
@@ -328,7 +342,8 @@ class SynthesisBlock(nn.Module):
 
         if self.in_channels == 0:
             x = SynthesisLayer(self.out_channels, name="conv1", **common)(
-                x, next(w_iter), noise_mode=noise_mode, fused_modconv=fused_modconv
+                x, next(w_iter), noise_mode=noise_mode, fused_modconv=fused_modconv,
+                sample_idx=sample_idx,
             )
         elif self.architecture == "resnet":
             y = Conv2dLayer(
@@ -336,19 +351,22 @@ class SynthesisBlock(nn.Module):
                 resample_filter=self.resample_filter, name="skip",
             )(x, gain=np.sqrt(0.5))
             x = SynthesisLayer(self.out_channels, up=2, name="conv0", **common)(
-                x, next(w_iter), noise_mode=noise_mode, fused_modconv=fused_modconv
+                x, next(w_iter), noise_mode=noise_mode, fused_modconv=fused_modconv,
+                sample_idx=sample_idx,
             )
             x = SynthesisLayer(self.out_channels, name="conv1", **common)(
                 x, next(w_iter), noise_mode=noise_mode, gain=np.sqrt(0.5),
-                fused_modconv=fused_modconv,
+                fused_modconv=fused_modconv, sample_idx=sample_idx,
             )
             x = y + x
         else:
             x = SynthesisLayer(self.out_channels, up=2, name="conv0", **common)(
-                x, next(w_iter), noise_mode=noise_mode, fused_modconv=fused_modconv
+                x, next(w_iter), noise_mode=noise_mode, fused_modconv=fused_modconv,
+                sample_idx=sample_idx,
             )
             x = SynthesisLayer(self.out_channels, name="conv1", **common)(
-                x, next(w_iter), noise_mode=noise_mode, fused_modconv=fused_modconv
+                x, next(w_iter), noise_mode=noise_mode, fused_modconv=fused_modconv,
+                sample_idx=sample_idx,
             )
 
         if img is not None:

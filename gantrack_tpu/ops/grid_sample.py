@@ -35,8 +35,14 @@ def grid_sample(x: jax.Array, grid: jax.Array) -> jax.Array:
     n, h, w, c = x.shape
     compute_dtype = x.dtype
 
-    gx = grid[..., 0].astype(jnp.float32)
-    gy = grid[..., 1].astype(jnp.float32)
+    # Coordinate math pinned to f32 (bf16 coordinates shift samples by whole
+    # pixels), widened to f64 when the grid is f64: the CPU x64 invariance
+    # pin needs the coordinate chain at full precision, because XLA
+    # rematerialises it inside the VJP with shape-dependent fusion order
+    # (f32 ulp differences there are far above f64 tolerance).
+    coord_dt = jnp.float64 if grid.dtype == jnp.float64 else jnp.float32
+    gx = grid[..., 0].astype(coord_dt)
+    gy = grid[..., 1].astype(coord_dt)
     # align_corners=False: -1 maps to -0.5, +1 maps to size-0.5.
     fx = ((gx + 1.0) * w - 1.0) * 0.5
     fy = ((gy + 1.0) * h - 1.0) * 0.5
@@ -86,11 +92,13 @@ def affine_grid(theta: jax.Array, height: int, width: int) -> jax.Array:
         ``[N, height, width, 2]`` grid suitable for :func:`grid_sample`.
     """
     assert theta.ndim == 3 and theta.shape[1:] == (2, 3)
-    # align_corners=False pixel-centre normalised coordinates.
-    ys = (jnp.arange(height, dtype=jnp.float32) * 2 + 1) / height - 1
-    xs = (jnp.arange(width, dtype=jnp.float32) * 2 + 1) / width - 1
+    # align_corners=False pixel-centre normalised coordinates; f32, widened
+    # to f64 when theta is f64 (see grid_sample's coordinate-dtype note).
+    coord_dt = jnp.float64 if theta.dtype == jnp.float64 else jnp.float32
+    ys = (jnp.arange(height, dtype=coord_dt) * 2 + 1) / height - 1
+    xs = (jnp.arange(width, dtype=coord_dt) * 2 + 1) / width - 1
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
     ones = jnp.ones_like(gx)
     coords = jnp.stack([gx, gy, ones], axis=-1)  # [H, W, 3]
-    out = jnp.einsum("nij,hwj->nhwi", theta.astype(jnp.float32), coords)
+    out = jnp.einsum("nij,hwj->nhwi", theta.astype(coord_dt), coords)
     return out  # [N, H, W, 2] = (x, y)

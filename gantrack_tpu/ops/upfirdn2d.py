@@ -316,7 +316,11 @@ def _fir1d_matrix(
     f = np.asarray(taps, np.float64) * gain_axis
     if not flip_filter:
         f = f[::-1]
-    d = np.zeros((n_out, n_in), np.float32)
+    # Built in f64 and cast to the compute dtype at the use site: each
+    # (v, m) cell is a single tap (k is unique), so the f32 cast there is
+    # bit-identical to building in f32 — and the f64 invariance pin keeps
+    # full-precision taps.
+    d = np.zeros((n_out, n_in), np.float64)
     for v in range(n_out):
         for m in range(n_in):
             k = m * up - v * down + p0
@@ -385,15 +389,19 @@ def _upfirdn2d_matrix(
     planes = jnp.transpose(x, (0, 3, 1, 2)).reshape(n * c, h, w)
     # One bf16 MXU pass with f32 accumulation; pin precision so an ambient
     # ``default_matmul_precision('highest')`` context can't force a
-    # multi-pass split (bf16 inputs are already exact).
+    # multi-pass split (bf16 inputs are already exact).  f64 inputs (the
+    # CPU x64 invariance pin) keep f64 accumulation: f32 accumulation is
+    # tiled shape-dependently by XLA, which breaks 1-dev==N-dev equality
+    # at f32 ulps.
+    pet = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
     rows = jax.lax.dot_general(
         planes, dy.astype(x.dtype), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pet,
         precision=jax.lax.Precision.DEFAULT,
     )  # [P, w, out_h]
     out = jax.lax.dot_general(
         rows.astype(x.dtype), dxt.astype(x.dtype), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pet,
         precision=jax.lax.Precision.DEFAULT,
     ).astype(x.dtype)  # [P, out_h, out_w]
     return jnp.transpose(out.reshape(n, c, out_h, out_w), (0, 2, 3, 1))

@@ -50,12 +50,27 @@ WAVELETS = {
 
 # ------------------------------------------------------- matrix helpers
 
+def _tdt(*xs):
+    """Transform dtype: float32 (the TPU production pin — geometric math in
+    bf16 shifts sampling coordinates by whole pixels), widened to float64
+    only when an operand is already float64 (the CPU x64 invariance pin,
+    scripts/invariance_f64.py).  Hard-pinning f32 breaks the f64 pin in a
+    subtle way: XLA rematerialises the f32 coordinate chain inside the
+    warp's VJP with shape-dependent fusion/FMA ordering, so 1-dev and
+    N-dev backward passes differ by f32 ulps — far above f64 tolerance."""
+    for x in xs:
+        if jnp.result_type(x) == jnp.float64:
+            return jnp.float64
+    return jnp.float32
+
+
 def _eye3(n):
     return jnp.broadcast_to(jnp.eye(3), (n, 3, 3))
 
 
 def translate2d(tx, ty):
-    tx, ty = jnp.broadcast_arrays(jnp.asarray(tx, jnp.float32), jnp.asarray(ty, jnp.float32))
+    dt = _tdt(tx, ty)
+    tx, ty = jnp.broadcast_arrays(jnp.asarray(tx, dt), jnp.asarray(ty, dt))
     n = tx.shape[0] if tx.ndim else 1
     m = _eye3(n)
     m = m.at[:, 0, 2].set(tx)
@@ -64,7 +79,8 @@ def translate2d(tx, ty):
 
 
 def scale2d(sx, sy):
-    sx, sy = jnp.broadcast_arrays(jnp.asarray(sx, jnp.float32), jnp.asarray(sy, jnp.float32))
+    dt = _tdt(sx, sy)
+    sx, sy = jnp.broadcast_arrays(jnp.asarray(sx, dt), jnp.asarray(sy, dt))
     n = sx.shape[0] if sx.ndim else 1
     m = _eye3(n)
     m = m.at[:, 0, 0].set(sx)
@@ -73,7 +89,7 @@ def scale2d(sx, sy):
 
 
 def rotate2d(theta):
-    theta = jnp.asarray(theta, jnp.float32)
+    theta = jnp.asarray(theta, _tdt(theta))
     n = theta.shape[0] if theta.ndim else 1
     c, s = jnp.cos(theta), jnp.sin(theta)
     m = _eye3(n)
@@ -101,8 +117,9 @@ def _eye4(n):
 
 
 def translate3d(tx, ty, tz):
+    dt = _tdt(tx, ty, tz)
     tx, ty, tz = jnp.broadcast_arrays(
-        jnp.asarray(tx, jnp.float32), jnp.asarray(ty, jnp.float32), jnp.asarray(tz, jnp.float32)
+        jnp.asarray(tx, dt), jnp.asarray(ty, dt), jnp.asarray(tz, dt)
     )
     n = tx.shape[0]
     m = _eye4(n)
@@ -113,8 +130,9 @@ def translate3d(tx, ty, tz):
 
 
 def scale3d(sx, sy, sz):
+    dt = _tdt(sx, sy, sz)
     sx, sy, sz = jnp.broadcast_arrays(
-        jnp.asarray(sx, jnp.float32), jnp.asarray(sy, jnp.float32), jnp.asarray(sz, jnp.float32)
+        jnp.asarray(sx, dt), jnp.asarray(sy, dt), jnp.asarray(sz, dt)
     )
     n = sx.shape[0]
     m = _eye4(n)
@@ -126,7 +144,7 @@ def scale3d(sx, sy, sz):
 
 def rotate3d(v, theta):
     """Rotation about unit axis v (len-3) by per-sample theta [N]."""
-    theta = jnp.asarray(theta, jnp.float32)
+    theta = jnp.asarray(theta, _tdt(theta))
     n = theta.shape[0]
     vx, vy, vz = float(v[0]), float(v[1]), float(v[2])
     s, c = jnp.sin(theta), jnp.cos(theta)
@@ -391,7 +409,8 @@ class AugmentPipe:
 
     # The implementation follows the reference section by section.
     def __call__(self, images: jax.Array, p: jax.Array, rng: jax.Array,
-                 debug_percentile: Optional[float] = None) -> jax.Array:
+                 debug_percentile: Optional[float] = None,
+                 sample_idx: Optional[jax.Array] = None) -> jax.Array:
         # The 3×3 transform chains and the sampling-grid product must be
         # exact f32: TPU default (bf16-input) matmuls shift sampling
         # coordinates by whole pixels.  All heavy image work inside
@@ -399,11 +418,12 @@ class AugmentPipe:
         with jax.default_matmul_precision("highest"):
             in_dtype = images.dtype
             out = self._apply(images.astype(self.compute_dtype), p, rng,
-                              debug_percentile)
+                              debug_percentile, sample_idx)
             return out.astype(in_dtype)
 
     def _apply(self, images: jax.Array, p: jax.Array, rng: jax.Array,
-               debug_percentile: Optional[float] = None) -> jax.Array:
+               debug_percentile: Optional[float] = None,
+               sample_idx: Optional[jax.Array] = None) -> jax.Array:
         cfg = self.cfg
         n, height, width, channels = images.shape
         assert (height, width, channels) == (self.height, self.width, self.num_channels)
@@ -413,9 +433,33 @@ class AugmentPipe:
         def nk():
             return keys.pop()
 
+        # Batch-shaped draws.  Augmentations are per-sample independent
+        # (reference ``augment_mi.py:148`` semantics: every gate/transform
+        # draw is an independent per-row random), so with ``sample_idx``
+        # given — the GLOBAL index of each local row — every draw is keyed
+        # by (phase key, global sample index) instead of (local key, lane).
+        # That makes the pipe's randomness mesh-size invariant: the numeric
+        # 1-dev == N-dev check (tests/test_train_step.py) runs the full
+        # production augment path.  ``sample_idx=None`` (production) keeps
+        # the plain batched draws — identical numerics to before.
+        if sample_idx is None:
+            def draw_u(key, tail=()):
+                return jax.random.uniform(key, (n,) + tail)
+
+            def draw_n(key, tail=()):
+                return jax.random.normal(key, (n,) + tail)
+        else:
+            def draw_u(key, tail=()):
+                return jax.vmap(lambda i: jax.random.uniform(
+                    jax.random.fold_in(key, i), tail))(sample_idx)
+
+            def draw_n(key, tail=()):
+                return jax.vmap(lambda i: jax.random.normal(
+                    jax.random.fold_in(key, i), tail))(sample_idx)
+
         def gate(key, mult, value, identity):
             """per-sample: value where rand < mult*p else identity."""
-            u = jax.random.uniform(key, (n,) + (1,) * (value.ndim - 1))
+            u = draw_u(key, (1,) * (value.ndim - 1))
             return jnp.where(u < mult * p, value, identity)
 
         dp = None
@@ -426,19 +470,19 @@ class AugmentPipe:
         # ------------------------------------------------ pixel blitting
         G_inv = _eye3(n)
         if cfg.xflip > 0:
-            i = jnp.floor(jax.random.uniform(nk(), (n,)) * 2)
+            i = jnp.floor(draw_u(nk()) * 2)
             i = gate(nk(), cfg.xflip, i, jnp.zeros_like(i))
             if dp is not None:
                 i = jnp.full_like(i, jnp.floor(dp * 2))
             G_inv = G_inv @ scale2d_inv(1 - 2 * i, jnp.ones_like(i))
         if cfg.rotate90 > 0:
-            i = jnp.floor(jax.random.uniform(nk(), (n,)) * 4)
+            i = jnp.floor(draw_u(nk()) * 4)
             i = gate(nk(), cfg.rotate90, i, jnp.zeros_like(i))
             if dp is not None:
                 i = jnp.full_like(i, jnp.floor(dp * 4))
             G_inv = G_inv @ rotate2d_inv(-np.pi / 2 * i)
         if cfg.xint > 0:
-            t = (jax.random.uniform(nk(), (n, 2)) * 2 - 1) * cfg.xint_max
+            t = (draw_u(nk(), (2,)) * 2 - 1) * cfg.xint_max
             t = gate(nk(), cfg.xint, t, jnp.zeros_like(t))
             if dp is not None:
                 t = jnp.full_like(t, (dp * 2 - 1) * cfg.xint_max)
@@ -446,34 +490,34 @@ class AugmentPipe:
 
         # --------------------------------------------- general geometric
         if cfg.scale > 0:
-            s = jnp.exp2(jax.random.normal(nk(), (n,)) * cfg.scale_std)
+            s = jnp.exp2(draw_n(nk()) * cfg.scale_std)
             s = gate(nk(), cfg.scale, s, jnp.ones_like(s))
             if dp is not None:
                 s = jnp.full_like(s, jnp.exp2(erfinv(dp * 2 - 1) * cfg.scale_std))
             G_inv = G_inv @ scale2d_inv(s, s)
         p_rot = 1 - jnp.sqrt(jnp.clip(1 - cfg.rotate * p, 0, 1))  # P(pre OR post) = p
         if cfg.rotate > 0:
-            theta = (jax.random.uniform(nk(), (n,)) * 2 - 1) * np.pi * cfg.rotate_max
-            u = jax.random.uniform(nk(), (n,))
+            theta = (draw_u(nk()) * 2 - 1) * np.pi * cfg.rotate_max
+            u = draw_u(nk())
             theta = jnp.where(u < p_rot, theta, jnp.zeros_like(theta))
             if dp is not None:
                 theta = jnp.full_like(theta, (dp * 2 - 1) * np.pi * cfg.rotate_max)
             G_inv = G_inv @ rotate2d_inv(-theta)
         if cfg.aniso > 0:
-            s = jnp.exp2(jax.random.normal(nk(), (n,)) * cfg.aniso_std)
+            s = jnp.exp2(draw_n(nk()) * cfg.aniso_std)
             s = gate(nk(), cfg.aniso, s, jnp.ones_like(s))
             if dp is not None:
                 s = jnp.full_like(s, jnp.exp2(erfinv(dp * 2 - 1) * cfg.aniso_std))
             G_inv = G_inv @ scale2d_inv(s, 1 / s)
         if cfg.rotate > 0:
-            theta = (jax.random.uniform(nk(), (n,)) * 2 - 1) * np.pi * cfg.rotate_max
-            u = jax.random.uniform(nk(), (n,))
+            theta = (draw_u(nk()) * 2 - 1) * np.pi * cfg.rotate_max
+            u = draw_u(nk())
             theta = jnp.where(u < p_rot, theta, jnp.zeros_like(theta))
             if dp is not None:
                 theta = jnp.zeros_like(theta)
             G_inv = G_inv @ rotate2d_inv(-theta)
         if cfg.xfrac > 0:
-            t = jax.random.normal(nk(), (n, 2)) * cfg.xfrac_std
+            t = draw_n(nk(), (2,)) * cfg.xfrac_std
             t = gate(nk(), cfg.xfrac, t, jnp.zeros_like(t))
             if dp is not None:
                 t = jnp.full_like(t, erfinv(dp * 2 - 1) * cfg.xfrac_std)
@@ -515,8 +559,9 @@ class AugmentPipe:
                 )
             else:
                 # grid = G_inv @ normalised output coords (align_corners=False).
-                ys = (jnp.arange(out_h, dtype=jnp.float32) * 2 + 1) / out_h - 1
-                xs = (jnp.arange(out_w, dtype=jnp.float32) * 2 + 1) / out_w - 1
+                cdt = _tdt(G_inv)
+                ys = (jnp.arange(out_h, dtype=cdt) * 2 + 1) / out_h - 1
+                xs = (jnp.arange(out_w, dtype=cdt) * 2 + 1) / out_w - 1
                 gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
                 coords = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)  # [H,W,3]
                 grid = jnp.einsum("nij,hwj->nhwi", G_inv[:, :2, :], coords)
@@ -534,32 +579,32 @@ class AugmentPipe:
         C = I4
         v = np.asarray([1, 1, 1, 0]) / np.sqrt(3)
         if cfg.brightness > 0:
-            b = jax.random.normal(nk(), (n,)) * cfg.brightness_std
+            b = draw_n(nk()) * cfg.brightness_std
             b = gate(nk(), cfg.brightness, b, jnp.zeros_like(b))
             if dp is not None:
                 b = jnp.full_like(b, erfinv(dp * 2 - 1) * cfg.brightness_std)
             C = translate3d(b, b, b) @ C
         if cfg.contrast > 0:
-            c = jnp.exp2(jax.random.normal(nk(), (n,)) * cfg.contrast_std)
+            c = jnp.exp2(draw_n(nk()) * cfg.contrast_std)
             c = gate(nk(), cfg.contrast, c, jnp.ones_like(c))
             if dp is not None:
                 c = jnp.full_like(c, jnp.exp2(erfinv(dp * 2 - 1) * cfg.contrast_std))
             C = scale3d(c, c, c) @ C
         vv = jnp.asarray(np.outer(v, v), jnp.float32)
         if cfg.lumaflip > 0:
-            i = jnp.floor(jax.random.uniform(nk(), (n, 1, 1)) * 2)
+            i = jnp.floor(draw_u(nk(), (1, 1)) * 2)
             i = gate(nk(), cfg.lumaflip, i, jnp.zeros_like(i))
             if dp is not None:
                 i = jnp.full_like(i, jnp.floor(dp * 2))
             C = (jnp.eye(4) - 2 * vv * i) @ C  # Householder reflection
         if cfg.hue > 0 and channels > 1:
-            theta = (jax.random.uniform(nk(), (n,)) * 2 - 1) * np.pi * cfg.hue_max
+            theta = (draw_u(nk()) * 2 - 1) * np.pi * cfg.hue_max
             theta = gate(nk(), cfg.hue, theta, jnp.zeros_like(theta))
             if dp is not None:
                 theta = jnp.full_like(theta, (dp * 2 - 1) * np.pi * cfg.hue_max)
             C = rotate3d(v, theta) @ C
         if cfg.saturation > 0 and channels > 1:
-            s = jnp.exp2(jax.random.normal(nk(), (n, 1, 1)) * cfg.saturation_std)
+            s = jnp.exp2(draw_n(nk(), (1, 1)) * cfg.saturation_std)
             s = gate(nk(), cfg.saturation, s, jnp.ones_like(s))
             if dp is not None:
                 s = jnp.full_like(s, jnp.exp2(erfinv(dp * 2 - 1) * cfg.saturation_std))
@@ -590,8 +635,8 @@ class AugmentPipe:
             expected_power = jnp.asarray(np.array([10, 1, 1, 1]) / 13, jnp.float32)
             g = jnp.ones((n, num_bands))
             for i, band_strength in enumerate(cfg.imgfilter_bands):
-                t_i = jnp.exp2(jax.random.normal(nk(), (n,)) * cfg.imgfilter_std)
-                u = jax.random.uniform(nk(), (n,))
+                t_i = jnp.exp2(draw_n(nk()) * cfg.imgfilter_std)
+                u = draw_u(nk())
                 t_i = jnp.where(u < cfg.imgfilter * p * band_strength, t_i, jnp.ones_like(t_i))
                 if dp is not None:
                     t_i = (
@@ -625,16 +670,16 @@ class AugmentPipe:
 
         # --------------------------------------------------- corruptions
         if cfg.noise > 0:
-            sigma = jnp.abs(jax.random.normal(nk(), (n, 1, 1, 1))) * cfg.noise_std
+            sigma = jnp.abs(draw_n(nk(), (1, 1, 1))) * cfg.noise_std
             sigma = gate(nk(), cfg.noise, sigma, jnp.zeros_like(sigma))
             if dp is not None:
                 sigma = jnp.full_like(sigma, erfinv(dp) * cfg.noise_std)
-            images = images + jax.random.normal(nk(), images.shape) * sigma
+            images = images + draw_n(nk(), images.shape[1:]) * sigma
         if cfg.cutout > 0:
             size = jnp.full((n, 2, 1, 1), cfg.cutout_size)
-            u = jax.random.uniform(nk(), (n, 1, 1, 1))
+            u = draw_u(nk(), (1, 1, 1))
             size = jnp.where(u < cfg.cutout * p, size, jnp.zeros_like(size))
-            center = jax.random.uniform(nk(), (n, 2, 1, 1))
+            center = draw_u(nk(), (2, 1, 1))
             if dp is not None:
                 size = jnp.full_like(size, cfg.cutout_size)
                 center = jnp.full_like(center, dp)

@@ -95,13 +95,20 @@ class StyleGAN2Loss:
             return ws, mutated.get("emas", {})
         return out, None
 
-    def _synthesis(self, vars_g, ws, rng, update_emas: bool = False):
+    def _synthesis(self, vars_g, ws, rng, update_emas: bool = False,
+                   sample_idx=None):
         """Returns (img, mutated_emas_or_None)."""
+        kw = {}
+        if sample_idx is not None and self.cfg.noise_mode == "random":
+            # Mesh-size-invariant per-layer noise: each layer keys its noise
+            # plane by global sample index (models/stylegan2.py).
+            kw["sample_idx"] = sample_idx
         out = self.G.apply(
             vars_g, ws, noise_mode=self.cfg.noise_mode, update_emas=update_emas,
             method=lambda m, ws, **kw: m.synthesis(ws, **kw),
             rngs={"noise": rng},
             mutable=["emas"] if update_emas else False,
+            **kw,
         )
         if update_emas:
             img, mutated = out
@@ -138,7 +145,8 @@ class StyleGAN2Loss:
             ws2, _ = self._mapping(vars_g, z2, c)
             mask = (jnp.arange(num_ws)[None, :, None] >= cutoff)
             ws = jnp.where(mask, ws2, ws)
-        img, emas_syn = self._synthesis(vars_g, ws, k_noise, update_emas)
+        img, emas_syn = self._synthesis(vars_g, ws, k_noise, update_emas,
+                                        sample_idx=sample_idx)
         new_emas = None
         if update_emas:
             new_emas = emas_syn if emas_syn else (emas_map or vars_g["emas"])
@@ -157,15 +165,23 @@ class StyleGAN2Loss:
         return filter2d(img, f, flip_filter=False)
 
     def run_D(
-        self, vars_d, img, c, rng, blur_sigma: Optional[jax.Array] = None, ada_p=None
+        self, vars_d, img, c, rng, blur_sigma: Optional[jax.Array] = None, ada_p=None,
+        sample_idx=None,
     ) -> jax.Array:
         """blur ramp → ADA augment → D (reference ``loss.py:53-62``)."""
         if self.cfg.blur_init_sigma > 0 and blur_sigma is not None:
             img = self._blur(img, blur_sigma)
         if self.augment_fn is not None:
             k_aug, rng = jax.random.split(rng)
-            img = self.augment_fn(img, ada_p, k_aug)
+            img = self._augment(img, ada_p, k_aug, sample_idx)
         return self.D.apply(vars_d, img, c)
+
+    def _augment(self, img, ada_p, key, sample_idx):
+        """Invoke the augment pipe, forwarding per-sample global keying when
+        the pipe supports it (mesh-size invariance mode)."""
+        if sample_idx is not None:
+            return self.augment_fn(img, ada_p, key, sample_idx=sample_idx)
+        return self.augment_fn(img, ada_p, key)
 
     def blur_sigma(self, cur_nimg) -> Optional[jax.Array]:
         if self.cfg.blur_fade_kimg <= 0:
@@ -185,7 +201,8 @@ class StyleGAN2Loss:
         vars_g = {"params": params_g, **extras_g}
         k_g, k_d = jax.random.split(rng)
         img, _ws, _wmean = self.run_G(vars_g, z, c, k_g, sample_idx=sample_idx)
-        logits = self.run_D(vars_d, img, c, k_d, self.blur_sigma(cur_nimg), ada_p)
+        logits = self.run_D(vars_d, img, c, k_d, self.blur_sigma(cur_nimg), ada_p,
+                            sample_idx=sample_idx)
         loss = jax.nn.softplus(-logits)
         m: stats.Moments = {}
         m = stats.report(m, "Loss/scores/fake", logits)
@@ -232,7 +249,7 @@ class StyleGAN2Loss:
             ws = jnp.where(jnp.arange(num_ws)[None, :, None] >= cutoff, ws2, ws)
 
         def img_dot_noise(ws_in, key):
-            img, _ = self._synthesis(vars_g, ws_in, key)
+            img, _ = self._synthesis(vars_g, ws_in, key, sample_idx=sample_idx)
             if sample_idx is None:
                 pl_noise = jax.random.normal(k_noise, img.shape)
             else:
@@ -279,7 +296,13 @@ class StyleGAN2Loss:
             both = self._blur(both, bs)
         if self.augment_fn is not None:
             k_aug, k_d = jax.random.split(k_d)
-            both = self.augment_fn(both, ada_p, k_aug)
+            # Invariance mode: key the fake half by 2g and the real half by
+            # 2g+1 (g = global sample index) — unique per global row and
+            # independent of the device count.
+            idx_both = None
+            if sample_idx is not None:
+                idx_both = jnp.concatenate([2 * sample_idx, 2 * sample_idx + 1])
+            both = self._augment(both, ada_p, k_aug, idx_both)
         n = gen_img.shape[0]
         gen_logits = self.D.apply(vars_d, both[:n], c)
         real_logits = self.D.apply(vars_d, both[n:], real_c)
@@ -295,14 +318,15 @@ class StyleGAN2Loss:
         return jnp.mean(loss_dgen) + jnp.mean(loss_dreal), (new_emas, m)
 
     def dr1(
-        self, params_d, real_img, real_c, rng, ada_p, cur_nimg
+        self, params_d, real_img, real_c, rng, ada_p, cur_nimg, sample_idx=None
     ) -> Tuple[jax.Array, stats.Moments]:
         """R1 gradient penalty (reference ``loss.py:129-139``)."""
         vars_d = {"params": params_d}
         bs = self.blur_sigma(cur_nimg)
 
         def d_sum(img):
-            logits = self.run_D(vars_d, img, real_c, rng, bs, ada_p)
+            logits = self.run_D(vars_d, img, real_c, rng, bs, ada_p,
+                                sample_idx=sample_idx)
             return jnp.sum(logits), logits
 
         r1_grads, real_logits = jax.grad(d_sum, has_aux=True)(real_img)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import weakref
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -325,7 +326,8 @@ class TrainStepper:
 
             if M == 1:
                 def dr1_scaled(p):
-                    l, m = loss.dr1(p, real_img, real_c, k[6], state.ada_p, cur_nimg)
+                    l, m = loss.dr1(p, real_img, real_c, k[6], state.ada_p,
+                                    cur_nimg, sample_idx)
                     return l * gain, m
 
                 (_, m_r1), grads = jax.value_and_grad(dr1_scaled, has_aux=True)(params_d)
@@ -418,16 +420,32 @@ class TrainStepper:
         The batch index is mirrored on host after the first call so the
         hot loop never blocks on the device counter.
         """
+        prev = getattr(self, "_last_state_ref", None)
         if (
             getattr(self, "_host_step", None) is None
-            or getattr(self, "_last_state_id", None) != id(state)
+            or prev is None
+            or prev() is not state
         ):
             # One device sync at start/resume — and whenever the caller swaps
-            # in a state we didn't produce (e.g. a restored checkpoint), so
-            # phase scheduling can't silently desynchronise from state.step.
+            # in a state this stepper didn't produce (restored checkpoint,
+            # another stepper's output, eval/train interleaving), so phase
+            # scheduling can't silently desynchronise from state.step.  The
+            # identity check holds a *weakref* to the state we returned last:
+            # exact while that object is alive (unlike raw id(), which CPython
+            # recycles), and a dead referent returns None, forcing a resync.
             self._host_step = int(state.step)
         step = self._host_step
         self._host_step += 1
+        do_gpl, do_dr1 = self._phase_flags(step)
+        if real_c is None:
+            real_c = jnp.zeros((real_img.shape[0], 0), jnp.float32)
+        out = self.get(do_gpl, do_dr1)(state, real_img, real_c)
+        self._last_state_ref = weakref.ref(out[0])
+        return out
+
+    def _phase_flags(self, step: int) -> Tuple[bool, bool]:
+        """Lazy-regularisation cadence for host batch index ``step``
+        (reference ``training_loop_mi_multimodal.py:333-337``)."""
         do_gpl = (
             self.cfg.g_reg_interval is not None
             and self.loss.cfg.pl_weight != 0
@@ -438,8 +456,4 @@ class TrainStepper:
             and self.loss.cfg.r1_gamma != 0
             and step % self.cfg.d_reg_interval == 0
         )
-        if real_c is None:
-            real_c = jnp.zeros((real_img.shape[0], 0), jnp.float32)
-        out = self.get(do_gpl, do_dr1)(state, real_img, real_c)
-        self._last_state_id = id(out[0])
-        return out
+        return do_gpl, do_dr1
