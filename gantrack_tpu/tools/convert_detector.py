@@ -120,6 +120,45 @@ def convert_vgg_state_dict(sd: dict) -> dict:
     return out
 
 
+def load_state_dict(src: str) -> dict:
+    """Read a torch weights file in any of the formats the detector ships in:
+    a plain state-dict / checkpoint (pytorch-fid's
+    ``pt_inception-2015-12-05-6726825d.pth``), a pickled ``nn.Module``, a
+    TorchScript archive, or the reference's pickled-TorchScript ``.pkl``
+    (``metric_utils.py:47-58`` does ``pickle.load``).  Common wrapper
+    prefixes (``module.``, ``base.``, ``model.``) are stripped."""
+    import pickle
+
+    import torch
+
+    obj = None
+    errors = []
+    for loader in (
+        lambda: torch.load(src, map_location="cpu", weights_only=False),
+        lambda: torch.jit.load(src, map_location="cpu"),
+        lambda: pickle.load(open(src, "rb")),
+    ):
+        try:
+            obj = loader()
+            break
+        except Exception as e:  # try the next container format
+            errors.append(str(e).splitlines()[0])
+    if obj is None:
+        raise click.ClickException(
+            f"could not read {src} as torch checkpoint / TorchScript / pickle: "
+            + " | ".join(errors))
+    if hasattr(obj, "state_dict") and not isinstance(obj, dict):
+        sd = obj.state_dict()
+    elif isinstance(obj, dict) and "state_dict" in obj:
+        sd = obj["state_dict"]
+    else:
+        sd = obj
+    for prefix in ("module.", "base.", "model."):
+        if sd and all(k.startswith(prefix) for k in sd):
+            sd = {k[len(prefix):]: v for k, v in sd.items()}
+    return sd
+
+
 @click.command()
 @click.option("--src", required=True, help="torch state-dict / TorchScript file")
 @click.option("--dst", required=True, help="output .npz")
@@ -130,15 +169,7 @@ def convert_vgg_state_dict(sd: dict) -> dict:
                    "plain inception = torchvision graph (NOT "
                    "reference-comparable FID)")
 def main(src, dst, arch):
-    import torch
-
-    obj = torch.load(src, map_location="cpu", weights_only=False)
-    if hasattr(obj, "state_dict"):
-        sd = obj.state_dict()
-    elif isinstance(obj, dict) and "state_dict" in obj:
-        sd = obj["state_dict"]
-    else:
-        sd = obj
+    sd = load_state_dict(src)
     if arch == "vgg16":
         flat = convert_vgg_state_dict(sd)
     else:
