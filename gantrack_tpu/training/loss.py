@@ -259,14 +259,18 @@ class StyleGAN2Loss:
 
         pl_grads = jax.grad(img_dot_noise)(ws, k_syn)  # [N, num_ws, w_dim]
         pl_lengths = jnp.sqrt(jnp.mean(jnp.sum(jnp.square(pl_grads), axis=2), axis=1))
+        # The lerped mean stays IN the graph for the penalty (reference
+        # ``loss.py:93-95`` detaches only the buffer copy): the gradient
+        # carries a -pl_decay/N cross-sample coupling term through
+        # ``batch_mean_fn`` (a pmean'd global mean in the stepper, so the
+        # coupling — like the penalty — is mesh-size invariant).
         new_pl_mean = pl_mean + self.cfg.pl_decay * (batch_mean_fn(pl_lengths) - pl_mean)
-        new_pl_mean = jax.lax.stop_gradient(new_pl_mean)
         pl_penalty = jnp.square(pl_lengths - new_pl_mean)
         loss = pl_penalty * self.cfg.pl_weight
         m: stats.Moments = {}
         m = stats.report(m, "Loss/pl_penalty", pl_penalty)
         m = stats.report(m, "Loss/G/reg", loss)
-        return jnp.mean(loss), (new_pl_mean, m)
+        return jnp.mean(loss), (jax.lax.stop_gradient(new_pl_mean), m)
 
     def dmain(
         self, params_d, vars_g, z, c, real_img, real_c, rng, ada_p, cur_nimg,
