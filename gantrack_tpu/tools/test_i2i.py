@@ -137,10 +137,13 @@ def main(dataroot, name, model_kind, dataset_mode, direction, phase, input_nc,
         paths = _list_images(os.path.join(dataroot, ""))  # dataroot IS the folder
         items = [(p, None) for p in paths]
     elif dataset_mode == "unaligned":
-        ds = UnalignedDataset(dataroot, phase, size, input_nc, seed=0)
+        ds = UnalignedDataset(dataroot, phase, input_nc, seed=0,
+                              preprocess="resize", load_size=size,
+                              crop_size=size, no_flip=True)
         items = [(ds.a[i % len(ds.a)], None) for i in range(len(ds))]
     else:
-        ds = AlignedDataset(dataroot, phase, size, input_nc)
+        ds = AlignedDataset(dataroot, phase, input_nc, preprocess="resize",
+                            load_size=size, crop_size=size, no_flip=True)
         items = [(p, "aligned") for p in ds.paths]
 
     web_dir = os.path.join(results_dir, name, f"{phase}_latest")

@@ -19,6 +19,11 @@ import click
 import numpy as np
 
 
+from ..data.i2i_transforms import (
+    PREPROCESS_CHOICES, apply_transform, get_params, output_size,
+)
+
+
 def _list_images(d: str) -> List[str]:
     exts = (".png", ".jpg", ".jpeg", ".tif", ".tiff", ".bmp")
     return sorted(
@@ -27,6 +32,8 @@ def _list_images(d: str) -> List[str]:
 
 
 def _load_image(path: str, size: int, channels: int) -> np.ndarray:
+    """Deterministic eval-time loader: plain bicubic resize, no crop/flip
+    (test phase, reference ``test.py`` conventions)."""
     from PIL import Image
 
     img = Image.open(path)
@@ -38,34 +45,67 @@ def _load_image(path: str, size: int, channels: int) -> np.ndarray:
     return arr
 
 
-class UnalignedDataset:
-    """trainA/trainB folders; random B per A (reference unaligned_dataset)."""
+class _PreprocessMixin:
+    """Shared transform plumbing (reference ``base_dataset.get_transform``)."""
 
-    def __init__(self, root: str, phase: str, size: int, channels: int, seed: int = 0):
+    def _setup(self, preprocess: str, load_size: int, crop_size: int,
+               no_flip: bool, seed: int):
+        self.preprocess = preprocess
+        self.load_size = load_size
+        self.crop_size = crop_size
+        self.no_flip = no_flip
+        self._rng = random.Random(seed)
+
+    def _params(self, src_size):
+        return get_params(self.preprocess, self.load_size, self.crop_size,
+                          src_size, self._rng, self.no_flip)
+
+    def _apply(self, img, channels: int, params) -> np.ndarray:
+        img = img.convert("L" if channels == 1 else "RGB")
+        img = apply_transform(img, self.preprocess, self.load_size,
+                              self.crop_size, params)
+        arr = np.asarray(img, np.float32) / 127.5 - 1.0
+        return arr[:, :, None] if arr.ndim == 2 else arr
+
+
+class UnalignedDataset(_PreprocessMixin):
+    """trainA/trainB folders; random B per A; A and B draw INDEPENDENT
+    crop/flip params (reference ``unaligned_dataset.py:36-37`` builds two
+    param-free transforms)."""
+
+    def __init__(self, root: str, phase: str, channels: int, seed: int = 0,
+                 preprocess: str = "resize", load_size: int = 256,
+                 crop_size: int = 256, no_flip: bool = False):
         self.a = _list_images(os.path.join(root, f"{phase}A"))
         self.b = _list_images(os.path.join(root, f"{phase}B"))
         assert self.a and self.b, f"no images under {root}/{phase}A|B"
-        self.size = size
         self.channels = channels
-        self._rng = random.Random(seed)
+        self._setup(preprocess, load_size, crop_size, no_flip, seed)
 
     def __len__(self):
         return max(len(self.a), len(self.b))
 
     def get(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
-        a = _load_image(self.a[idx % len(self.a)], self.size, self.channels)
-        b = _load_image(self.b[self._rng.randrange(len(self.b))], self.size, self.channels)
+        from PIL import Image
+
+        ia = Image.open(self.a[idx % len(self.a)])
+        ib = Image.open(self.b[self._rng.randrange(len(self.b))])
+        a = self._apply(ia, self.channels, self._params(ia.size))
+        b = self._apply(ib, self.channels, self._params(ib.size))
         return a, b
 
 
-class AlignedDataset:
-    """Single folder of AB-concatenated images (reference aligned_dataset)."""
+class AlignedDataset(_PreprocessMixin):
+    """Single folder of AB-concatenated images; the SAME crop/flip params
+    apply to both halves (reference ``aligned_dataset.py:49-54``)."""
 
-    def __init__(self, root: str, phase: str, size: int, channels: int):
+    def __init__(self, root: str, phase: str, channels: int, seed: int = 0,
+                 preprocess: str = "resize", load_size: int = 256,
+                 crop_size: int = 256, no_flip: bool = False):
         self.paths = _list_images(os.path.join(root, phase))
         assert self.paths, f"no images under {root}/{phase}"
-        self.size = size
         self.channels = channels
+        self._setup(preprocess, load_size, crop_size, no_flip, seed)
 
     def __len__(self):
         return len(self.paths)
@@ -74,27 +114,26 @@ class AlignedDataset:
         from PIL import Image
 
         img = Image.open(self.paths[idx % len(self.paths)])
-        img = img.convert("L" if self.channels == 1 else "RGB")
         w, h = img.size
-        a = img.crop((0, 0, w // 2, h)).resize((self.size, self.size), Image.BICUBIC)
-        b = img.crop((w // 2, 0, w, h)).resize((self.size, self.size), Image.BICUBIC)
-
-        def arr(x):
-            v = np.asarray(x, np.float32) / 127.5 - 1.0
-            return v[:, :, None] if v.ndim == 2 else v
-
-        return arr(a), arr(b)
+        a = img.crop((0, 0, w // 2, h))
+        b = img.crop((w // 2, 0, w, h))
+        params = self._params(a.size)
+        return (self._apply(a, self.channels, params),
+                self._apply(b, self.channels, params))
 
 
-class ColorizationDataset:
+class ColorizationDataset(_PreprocessMixin):
     """RGB image folder -> (L, ab) CIELAB pairs (reference
     ``data/colorization_dataset.py``: A = L/50 - 1 [1ch], B = ab/110
-    [2ch])."""
+    [2ch]); the transform runs on the RGB image before conversion
+    (reference uses ``get_transform(opt, convert=False)``)."""
 
-    def __init__(self, root: str, phase: str, size: int, channels: int = 1):
+    def __init__(self, root: str, phase: str, channels: int = 1, seed: int = 0,
+                 preprocess: str = "resize", load_size: int = 256,
+                 crop_size: int = 256, no_flip: bool = False):
         self.paths = _list_images(os.path.join(root, phase))
         assert self.paths, f"no images under {root}/{phase}"
-        self.size = size
+        self._setup(preprocess, load_size, crop_size, no_flip, seed)
 
     def __len__(self):
         return len(self.paths)
@@ -105,7 +144,8 @@ class ColorizationDataset:
         from ..utils.colorspace import rgb2lab
 
         img = Image.open(self.paths[idx % len(self.paths)]).convert("RGB")
-        img = img.resize((self.size, self.size), Image.BICUBIC)
+        img = apply_transform(img, self.preprocess, self.load_size,
+                              self.crop_size, self._params(img.size))
         lab = rgb2lab(np.asarray(img, np.uint8)).astype(np.float32)
         a = lab[:, :, :1] / 50.0 - 1.0
         b = lab[:, :, 1:] / 110.0
@@ -138,7 +178,19 @@ class ColorizationDataset:
 @click.option("--n-epochs", type=int, default=100)
 @click.option("--n-epochs-decay", type=int, default=100)
 @click.option("--batch-size", type=int, default=1)
-@click.option("--load-size", "size", type=int, default=256)
+@click.option("--load-size", "load_size", type=int, default=256,
+              help="scale images to this size first (reference default 286 "
+                   "with --preprocess resize_and_crop)")
+@click.option("--crop-size", "crop_size", type=int, default=None,
+              help="then random-crop to this size (defaults to "
+                   "min(load-size, 256); the network trains at this size "
+                   "for crop modes)")
+@click.option("--preprocess", type=click.Choice(PREPROCESS_CHOICES),
+              default="resize_and_crop",
+              help="train-time preprocessing (reference base_dataset.py "
+                   "transform zoo; default matches the reference)")
+@click.option("--no-flip", is_flag=True, default=False,
+              help="disable the 50% horizontal flip")
 @click.option("--checkpoints-dir", default="./checkpoints")
 @click.option("--save-epoch-freq", type=int, default=5)
 @click.option("--print-freq", type=int, default=100)
@@ -147,8 +199,8 @@ class ColorizationDataset:
 def main(dataroot, name, model, dataset_mode, direction, input_nc, output_nc,
          ngf, ndf, netg, netd, gan_mode, lambda_a, lambda_b, lambda_identity,
          lambda_l1, lr, beta1, pool_size, lr_policy, n_epochs, n_epochs_decay,
-         batch_size, size, checkpoints_dir, save_epoch_freq, print_freq, seed,
-         max_iters):
+         batch_size, load_size, crop_size, preprocess, no_flip,
+         checkpoints_dir, save_epoch_freq, print_freq, seed, max_iters):
     """Train CycleGAN or pix2pix."""
     import jax
 
@@ -166,10 +218,12 @@ def main(dataroot, name, model, dataset_mode, direction, input_nc, output_nc,
     dataset_mode = dataset_mode or ("unaligned" if model == "cycle_gan" else "aligned")
     netg = netg or ("resnet_9blocks" if model == "cycle_gan" else "unet_256")
     gan_mode = gan_mode or ("lsgan" if model == "cycle_gan" else "vanilla")
+    crop_size = crop_size if crop_size is not None else min(load_size, 256)
+    size = output_size(preprocess, load_size, crop_size)
     ds_cls = {"unaligned": UnalignedDataset, "aligned": AlignedDataset,
               "colorization": ColorizationDataset}[dataset_mode]
-    ds = (ds_cls(dataroot, "train", size, input_nc, seed) if dataset_mode == "unaligned"
-          else ds_cls(dataroot, "train", size, input_nc))
+    ds = ds_cls(dataroot, "train", input_nc, seed, preprocess=preprocess,
+                load_size=load_size, crop_size=crop_size, no_flip=no_flip)
     iters_per_epoch = max(len(ds) // batch_size, 1)
     run_dir = os.path.join(checkpoints_dir, name)
     os.makedirs(run_dir, exist_ok=True)
