@@ -55,7 +55,16 @@ def infinite_indices(
 
 class InfiniteLoader:
     """Yields ``(images [B,H,W,C] f32 in [-1,1], labels [B,label_dim])``
-    batches forever, prefetched on a background thread."""
+    batches forever, prefetched on background threads.
+
+    ``num_workers > 1`` parallelises batch construction (the reference
+    feeds each rank with a 3-worker torch DataLoader,
+    ``training_loop_mi_multimodal.py:177-179``) while keeping the batch
+    STREAM deterministic: workers claim sequence-numbered index lists
+    from the shared sampler under a lock and a reorder buffer yields
+    batches in sequence order, so the consumed stream is bit-identical
+    to ``num_workers=1``.
+    """
 
     def __init__(
         self,
@@ -69,6 +78,7 @@ class InfiniteLoader:
         normalize: bool = True,
         prefetch: int = 2,
         start: bool = True,
+        num_workers: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -77,15 +87,21 @@ class InfiniteLoader:
             len(dataset), rank=rank, num_replicas=num_replicas,
             shuffle=shuffle, seed=seed, window_size=window_size,
         )
-        self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
-        self._thread: Optional[threading.Thread] = None
-        if start:
-            self._thread = threading.Thread(target=self._worker, daemon=True)
-            self._thread.start()
+        self._threads: list = []
+        self._seq_lock = threading.Lock()
+        self._next_build = 0
+        self._cond = threading.Condition()
+        self._results: dict = {}
+        self._next_yield = 0
+        self._cap = max(prefetch, num_workers)
+        self._num_workers = max(1, int(num_workers)) if start else 0
+        for _ in range(self._num_workers):
+            t = threading.Thread(target=self._worker, daemon=True)
+            t.start()
+            self._threads.append(t)
 
-    def _make_batch(self) -> Tuple[np.ndarray, np.ndarray]:
-        idx = [next(self._indices) for _ in range(self.batch_size)]
+    def _build(self, idx) -> Tuple[np.ndarray, np.ndarray]:
         if hasattr(self.dataset, "gather_batch"):
             # Native C++ batched gather (sharded memmap datasets);
             # get_label reads the in-memory label table only.
@@ -99,23 +115,44 @@ class InfiniteLoader:
             images = images / 127.5 - 1.0
         return images, labels
 
+    def _make_batch(self) -> Tuple[np.ndarray, np.ndarray]:
+        return self._build([next(self._indices) for _ in range(self.batch_size)])
+
+    def _claim(self):
+        with self._seq_lock:
+            seq = self._next_build
+            self._next_build += 1
+            idx = [next(self._indices) for _ in range(self.batch_size)]
+        return seq, idx
+
     def _worker(self):
         while not self._stop.is_set():
-            batch = self._make_batch()
-            while not self._stop.is_set():
-                try:
-                    self._queue.put(batch, timeout=0.5)
-                    break
-                except queue.Full:
-                    continue
+            seq, idx = self._claim()
+            batch = self._build(idx)
+            with self._cond:
+                while (seq - self._next_yield >= self._cap
+                       and not self._stop.is_set()):
+                    self._cond.wait(0.5)
+                if self._stop.is_set():
+                    return
+                self._results[seq] = batch
+                self._cond.notify_all()
 
     def __iter__(self):
         return self
 
     def __next__(self) -> Tuple[np.ndarray, np.ndarray]:
-        if self._thread is None:
+        if not self._threads:
             return self._make_batch()
-        return self._queue.get()
+        with self._cond:
+            while self._next_yield not in self._results:
+                self._cond.wait()
+            batch = self._results.pop(self._next_yield)
+            self._next_yield += 1
+            self._cond.notify_all()
+        return batch
 
     def close(self):
         self._stop.set()
+        with self._cond:
+            self._cond.notify_all()

@@ -1,0 +1,97 @@
+"""Loader keep-up bench: sustained imgs/s of InfiniteLoader vs step demand.
+
+VERDICT r4 #6: the training step consumes ~155 imgs/s on one chip and
+~1.24k imgs/s on an 8-chip mesh (Gan-track flagship 256² batch 32); the
+reference feeds each rank with a 3-worker torch DataLoader
+(``training_loop_mi_multimodal.py:177-179``).  This bench measures the
+steady-state throughput of our loader over both on-disk formats:
+
+* zip-pickle (reference format, ZipSliceDataset: zip member read +
+  pickle decode per item, single prefetch thread or N workers)
+* sharded memmap (TPU-native ShardedArrayDataset: C++ thread-pool
+  gather_batch)
+
+usage: python scripts/bench_loader.py [n_imgs] [batch] [res]
+Writes a markdown table to stdout.
+"""
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+RES = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+ROOT = "/tmp/bench_loader_ds"
+
+
+def build_datasets():
+    from gantrack_tpu.data.preprocess.packaging import (
+        holdout_split, pack_shards, write_slice_pickles, write_zip,
+    )
+
+    if os.path.isdir(ROOT):
+        shutil.rmtree(ROOT)
+    os.makedirs(ROOT)
+    rng = np.random.default_rng(0)
+    # zip-pickle: patients of 32 slices each, one modality, RES² f32
+    src = os.path.join(ROOT, "temp")
+    depth, n_pat = 32, N // 32
+    patients = [f"P{i:03d}" for i in range(n_pat)]
+    for p in patients:
+        vol = {"MR_nonrigid_CT":
+               (rng.random((RES, RES, depth + 20), np.float32) * 255)}
+        write_slice_pickles(src, p, vol, pop_range=10)
+    split = holdout_split(patients, fractions={"train": 0.98, "val": 0.01, "test": 0.01})
+    zip_path = os.path.join(ROOT, "ds.zip")
+    write_zip(src, zip_path, split)
+    # sharded memmap
+    imgs = [rng.random((RES, RES, 1), np.float32) * 255 for _ in range(N)]
+    pack_shards(os.path.join(ROOT, "sharded"), "train", imgs,
+                [f"s{i}" for i in range(N)])
+    return zip_path, os.path.join(ROOT, "sharded")
+
+
+def measure(loader, warmup=4, secs=6.0):
+    for _ in range(warmup):
+        next(loader)
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < secs:
+        imgs, _ = next(loader)
+        n += imgs.shape[0]
+    dt = time.perf_counter() - t0
+    loader.close()
+    return n / dt
+
+
+def main():
+    from gantrack_tpu.data.dataset import ShardedArrayDataset, ZipSliceDataset
+    from gantrack_tpu.data.loader import InfiniteLoader
+
+    zip_path, shard_path = build_datasets()
+    rows = []
+    for fmt, mk in (
+        ("zip-pickle", lambda: ZipSliceDataset(
+            zip_path, split="train", modalities=["MR_nonrigid_CT"])),
+        ("sharded-memmap", lambda: ShardedArrayDataset(shard_path, split="train")),
+    ):
+        for workers in (1, 2, 4, 8):
+            ds = mk()
+            loader = InfiniteLoader(ds, BATCH, num_workers=workers, prefetch=8)
+            rate = measure(loader)
+            rows.append((fmt, workers, rate))
+            print(f"{fmt:16s} workers={workers}  {rate:8.1f} imgs/s", flush=True)
+
+    print("\n| format | workers | imgs/s | 1-chip demand (155) | 8-chip demand (1240) |")
+    print("|---|---|---|---|---|")
+    for fmt, w, r in rows:
+        print(f"| {fmt} | {w} | {r:.0f} | {r/155:.1f}× | {r/1240:.2f}× |")
+
+
+if __name__ == "__main__":
+    main()

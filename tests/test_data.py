@@ -142,3 +142,20 @@ def test_open_dataset_dispatch(pickle_zip, tmp_path):
     pack_shards(str(tmp_path), "train", images, ["a", "b", "c"])
     ds2 = open_dataset(str(tmp_path), split="train")
     assert isinstance(ds2, ShardedArrayDataset)
+
+
+def test_loader_multiworker_stream_deterministic(pickle_zip):
+    """num_workers=4 must yield the bit-identical batch stream as
+    num_workers=1 (sequence-numbered reorder buffer)."""
+    def stream(workers, n=6):
+        ds = ZipSliceDataset(pickle_zip, split="train",
+                             modalities=["MR_nonrigid_CT"])
+        loader = InfiniteLoader(ds, batch_size=4, seed=7, num_workers=workers)
+        out = [next(loader) for _ in range(n)]
+        loader.close()
+        return out
+
+    a, b = stream(1), stream(4)
+    for (ia, la), (ib, lb) in zip(a, b):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(la, lb)
