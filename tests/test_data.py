@@ -159,3 +159,79 @@ def test_loader_multiworker_stream_deterministic(pickle_zip):
     for (ia, la), (ib, lb) in zip(a, b):
         np.testing.assert_array_equal(ia, ib)
         np.testing.assert_array_equal(la, lb)
+
+
+def test_loader_worker_error_propagates():
+    """A raising dataset item must crash the consumer with the original
+    error, not hang it (torch DataLoader error semantics,
+    ``training_loop_mi_multimodal.py:177-179``); close() must join."""
+    class PoisonDS:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            if i == 13:
+                raise ValueError("corrupt shard at 13")
+            return np.zeros((4, 4, 1), np.float32), np.zeros(0, np.float32)
+
+    loader = InfiniteLoader(PoisonDS(), batch_size=8, shuffle=False,
+                            num_workers=2)
+    with pytest.raises(RuntimeError, match="worker failed") as ei:
+        for _ in range(32):
+            next(loader)
+    assert isinstance(ei.value.__cause__, ValueError)
+    assert "corrupt shard at 13" in str(ei.value.__cause__)
+    loader.close()
+    assert not loader._threads
+
+
+def test_loader_close_joins_workers():
+    class SlowDS:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            return np.zeros((4, 4, 1), np.float32), np.zeros(0, np.float32)
+
+    loader = InfiniteLoader(SlowDS(), batch_size=4, num_workers=3)
+    next(loader)
+    loader.close()
+    assert not loader._threads
+
+
+def test_loader_process_mode_stream_deterministic(pickle_zip):
+    """worker_mode='process' (spawned workers — the GIL-free path for the
+    reference zip-pickle format, VERDICT r4 #9) must yield the
+    bit-identical stream as single-threaded construction."""
+    def stream(n=5, **kw):
+        ds = ZipSliceDataset(pickle_zip, split="train",
+                             modalities=["MR_nonrigid_CT"])
+        loader = InfiniteLoader(ds, batch_size=4, seed=7, **kw)
+        out = [next(loader) for _ in range(n)]
+        loader.close()
+        return out
+
+    a = stream(num_workers=1)
+    b = stream(num_workers=2, worker_mode="process")
+    for (ia, la), (ib, lb) in zip(a, b):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(la, lb)
+
+
+def test_loader_process_mode_error_propagates(pickle_zip, tmp_path):
+    """A failure inside a worker *process* must surface in the consumer
+    (same contract as thread mode), not hang it."""
+    import shutil
+
+    dead = str(tmp_path / "dead.zip")
+    shutil.copy(pickle_zip, dead)
+    ds = ZipSliceDataset(dead, split="train", modalities=["MR_nonrigid_CT"])
+    ds.close()          # drop the parent's handle; children open lazily
+    os.remove(dead)     # every child read now fails
+    loader = InfiniteLoader(ds, batch_size=4, num_workers=2,
+                            worker_mode="process")
+    with pytest.raises(RuntimeError, match="worker"):
+        for _ in range(8):
+            next(loader)
+    loader.close()
+    assert not loader._procs
