@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..precision import high
 from ..ops.bias_act import activation_funcs, bias_act
 from ..ops.conv2d_resample import conv2d_resample
 from ..ops.modulated_conv2d import modulated_conv2d
@@ -63,7 +64,7 @@ class FullyConnected(nn.Module):
         in_features = x.shape[-1]
         w = self.param(
             "weight",
-            lambda key, shape: jax.random.normal(key, shape, jnp.float32)
+            lambda key, shape: jax.random.normal(key, shape, high())
             * (self.weight_init / self.lr_multiplier),
             (in_features, self.out_features),
         )
@@ -76,7 +77,7 @@ class FullyConnected(nn.Module):
             )
             b = self.param(
                 "bias",
-                lambda key, shape: jnp.asarray(bias_init / self.lr_multiplier),
+                lambda key, shape: jnp.asarray(bias_init / self.lr_multiplier, high()),
                 (self.out_features,),
             )
             b = b * self.lr_multiplier
@@ -104,7 +105,7 @@ class Conv2dLayer(nn.Module):
         in_channels = x.shape[-1]
         k = self.kernel_size
         w = self.param(
-            "weight", nn.initializers.normal(1.0), (k, k, in_channels, self.out_channels), jnp.float32
+            "weight", nn.initializers.normal(1.0), (k, k, in_channels, self.out_channels), high()
         )
         weight_gain = 1.0 / np.sqrt(in_channels * k * k)
         f = setup_filter(list(self.resample_filter)) if (self.up > 1 or self.down > 1) else None
@@ -114,7 +115,7 @@ class Conv2dLayer(nn.Module):
         )
         b = None
         if self.use_bias:
-            b = self.param("bias", nn.initializers.zeros, (self.out_channels,), jnp.float32)
+            b = self.param("bias", nn.initializers.zeros, (self.out_channels,), high())
         act_gain = activation_funcs[self.activation].def_gain * gain
         act_clamp = self.conv_clamp * gain if self.conv_clamp is not None else None
         return bias_act(x, b, act=self.activation, gain=act_gain, clamp=act_clamp)
@@ -154,10 +155,10 @@ class MappingNetwork(nn.Module):
         x = None
         if self.z_dim > 0:
             assert z is not None and z.shape[-1] == self.z_dim
-            x = normalize_2nd_moment(z.astype(jnp.float32))
+            x = normalize_2nd_moment(z.astype(high()))
         if self.c_dim > 0:
             assert c is not None and c.shape[-1] == self.c_dim
-            y = FullyConnected(embed_features, name="embed")(c.astype(jnp.float32))
+            y = FullyConnected(embed_features, name="embed")(c.astype(high()))
             y = normalize_2nd_moment(y)
             x = jnp.concatenate([x, y], axis=-1) if x is not None else y
 
@@ -170,7 +171,7 @@ class MappingNetwork(nn.Module):
 
         track = self.num_ws is not None and self.w_avg_beta is not None
         if track:
-            w_avg = self.variable("emas", "w_avg", jnp.zeros, (self.w_dim,), jnp.float32)
+            w_avg = self.variable("emas", "w_avg", jnp.zeros, (self.w_dim,), high())
             if update_emas and not self.is_initializing():
                 mean_w = jax.lax.stop_gradient(jnp.mean(x, axis=0))
                 w_avg.value = mean_w + (w_avg.value - mean_w) * self.w_avg_beta
@@ -214,18 +215,18 @@ class SynthesisLayer(nn.Module):
     ) -> jax.Array:
         assert noise_mode in ("random", "const", "none")
         in_channels = x.shape[-1]
-        styles = FullyConnected(in_channels, bias_init=1.0, name="affine")(w.astype(jnp.float32))
+        styles = FullyConnected(in_channels, bias_init=1.0, name="affine")(w.astype(high()))
         weight = self.param(
             "weight", nn.initializers.normal(1.0),
-            (self.kernel_size, self.kernel_size, in_channels, self.out_channels), jnp.float32,
+            (self.kernel_size, self.kernel_size, in_channels, self.out_channels), high(),
         )
 
         noise = None
         if self.use_noise:
-            strength = self.param("noise_strength", nn.initializers.zeros, (), jnp.float32)
+            strength = self.param("noise_strength", nn.initializers.zeros, (), high())
             noise_const = self.variable(
                 "noise_consts", "noise_const",
-                lambda: jax.random.normal(self.make_rng("params"), (self.resolution, self.resolution), jnp.float32),
+                lambda: jax.random.normal(self.make_rng("params"), (self.resolution, self.resolution), high()),
             )
             if noise_mode == "random":
                 key = self.make_rng("noise")
@@ -238,11 +239,11 @@ class SynthesisLayer(nn.Module):
                     # noise_mode (tests/test_train_step.py).
                     noise = jax.vmap(lambda i: jax.random.normal(
                         jax.random.fold_in(key, i),
-                        (self.resolution, self.resolution, 1), jnp.float32,
+                        (self.resolution, self.resolution, 1), high(),
                     ))(sample_idx) * strength
                 else:
                     noise = jax.random.normal(
-                        key, (x.shape[0], self.resolution, self.resolution, 1), jnp.float32
+                        key, (x.shape[0], self.resolution, self.resolution, 1), high()
                     ) * strength
             elif noise_mode == "const":
                 noise = (noise_const.value * strength)[None, :, :, None]
@@ -254,7 +255,7 @@ class SynthesisLayer(nn.Module):
             flip_weight=(self.up == 1), fused_modconv=fused_modconv,
         )
 
-        b = self.param("bias", nn.initializers.zeros, (self.out_channels,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.out_channels,), high())
         act_gain = activation_funcs[self.activation].def_gain * gain
         act_clamp = self.conv_clamp * gain if self.conv_clamp is not None else None
         return bias_act(x, b, act=self.activation, gain=act_gain, clamp=act_clamp)
@@ -271,17 +272,17 @@ class ToRGBLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, w: jax.Array, fused_modconv: bool = False) -> jax.Array:
         in_channels = x.shape[-1]
-        styles = FullyConnected(in_channels, bias_init=1.0, name="affine")(w.astype(jnp.float32))
+        styles = FullyConnected(in_channels, bias_init=1.0, name="affine")(w.astype(high()))
         weight_gain = 1.0 / np.sqrt(in_channels * self.kernel_size**2)
         styles = styles * weight_gain
         weight = self.param(
             "weight", nn.initializers.normal(1.0),
-            (self.kernel_size, self.kernel_size, in_channels, self.out_channels), jnp.float32,
+            (self.kernel_size, self.kernel_size, in_channels, self.out_channels), high(),
         )
         x = modulated_conv2d(
             x, weight.astype(x.dtype), styles, demodulate=False, fused_modconv=fused_modconv
         )
-        b = self.param("bias", nn.initializers.zeros, (self.out_channels,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.out_channels,), high())
         return bias_act(x, b, clamp=self.conv_clamp)
 
 
@@ -321,7 +322,7 @@ class SynthesisBlock(nn.Module):
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
         assert self.architecture in ("orig", "skip", "resnet")
         assert ws.shape[1] == self.num_conv + self.num_torgb
-        dtype = jnp.bfloat16 if (self.use_bf16 and not force_fp32) else jnp.float32
+        dtype = jnp.bfloat16 if (self.use_bf16 and not force_fp32) else high()
         w_iter = iter([ws[:, i] for i in range(ws.shape[1])])
         common = dict(
             w_dim=self.w_dim, resolution=self.resolution,
@@ -332,7 +333,7 @@ class SynthesisBlock(nn.Module):
         if self.in_channels == 0:
             const = self.param(
                 "const", nn.initializers.normal(1.0),
-                (self.resolution, self.resolution, self.out_channels), jnp.float32,
+                (self.resolution, self.resolution, self.out_channels), high(),
             )
             x = jnp.broadcast_to(
                 const.astype(dtype)[None], (ws.shape[0], *const.shape)
@@ -375,11 +376,11 @@ class SynthesisBlock(nn.Module):
             y = ToRGBLayer(
                 self.img_channels, w_dim=self.w_dim, conv_clamp=self.conv_clamp, name="torgb"
             )(x, next(w_iter), fused_modconv=fused_modconv)
-            y = y.astype(jnp.float32)
+            y = y.astype(high())
             img = img + y if img is not None else y
 
         assert x.dtype == dtype
-        assert img is None or img.dtype == jnp.float32
+        assert img is None or img.dtype == high()
         return x, img
 
 
@@ -418,7 +419,7 @@ class SynthesisNetwork(nn.Module):
     def __call__(self, ws: jax.Array, update_emas: bool = False, **block_kwargs) -> jax.Array:
         del update_emas  # SG2 synthesis has no EMAs (parity with reference signature)
         assert ws.shape[1] == self.num_ws and ws.shape[2] == self.w_dim
-        ws = ws.astype(jnp.float32)
+        ws = ws.astype(high())
         resolutions = self.block_resolutions
         channels = _channels_dict(resolutions, self.channel_base, self.channel_max)
         fp16_resolution = max(2 ** (int(np.log2(self.img_resolution)) + 1 - self.num_fp16_res), 8)
@@ -516,7 +517,7 @@ class DiscriminatorBlock(nn.Module):
         self, x: Optional[jax.Array], img: Optional[jax.Array], force_fp32: bool = False
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
         assert self.architecture in ("orig", "skip", "resnet")
-        dtype = jnp.bfloat16 if (self.use_bf16 and not force_fp32) else jnp.float32
+        dtype = jnp.bfloat16 if (self.use_bf16 and not force_fp32) else high()
         if x is not None:
             x = x.astype(dtype)
 
@@ -571,7 +572,7 @@ def minibatch_stddev(x: jax.Array, group_size: Optional[int], num_channels: int 
     assert n % g == 0, f"batch {n} not divisible by mbstd group {g}"
     f = num_channels
     cc = c // f
-    y = x.reshape(g, n // g, h, w, f, cc).astype(jnp.float32)
+    y = x.reshape(g, n // g, h, w, f, cc).astype(high())
     y = y - jnp.mean(y, axis=0, keepdims=True)
     y = jnp.mean(jnp.square(y), axis=0)
     y = jnp.sqrt(y + 1e-8)
@@ -600,11 +601,11 @@ class DiscriminatorEpilogue(nn.Module):
     def __call__(
         self, x: jax.Array, img: Optional[jax.Array], cmap: Optional[jax.Array]
     ) -> jax.Array:
-        x = x.astype(jnp.float32)
+        x = x.astype(high())
         if self.architecture == "skip":
             x = x + Conv2dLayer(
                 self.in_channels, kernel_size=1, activation=self.activation, name="fromrgb"
-            )(img.astype(jnp.float32))
+            )(img.astype(high()))
         if self.mbstd_num_channels > 0:
             x = minibatch_stddev(x, self.mbstd_group_size, self.mbstd_num_channels)
         x = Conv2dLayer(

@@ -61,8 +61,10 @@ def modulated_conv2d(
 
     dcoefs = None
     if demodulate or fused_modconv:
-        # [N, kh, kw, I, O] virtual per-sample weights (float32 stats).
-        w = weight[jnp.newaxis].astype(jnp.float32) * styles[:, None, None, :, None].astype(jnp.float32)
+        # [N, kh, kw, I, O] virtual per-sample weights (float32 stats;
+        # follow-operand so a float64 graph keeps f64 demod statistics).
+        _hi = jnp.float64 if styles.dtype == jnp.float64 else jnp.float32
+        w = weight[jnp.newaxis].astype(_hi) * styles[:, None, None, :, None].astype(_hi)
     if demodulate:
         dcoefs = jax.lax.rsqrt(jnp.sum(jnp.square(w), axis=(1, 2, 3)) + 1e-8)  # [N, O]
 
