@@ -196,6 +196,9 @@ def to_detector_input(images: np.ndarray, mode_idx: Optional[int]) -> np.ndarray
     return images
 
 
+_warned_unshimmed: list = []  # once-per-process flag for the shim warning
+
+
 def compute_feature_stats_for_dataset(
     opts: MetricOptions,
     capture_all: bool = False,
@@ -232,7 +235,34 @@ def compute_feature_stats_for_dataset(
             idx += 1
         if not imgs:
             break
-        batch = to_detector_input(np.stack(imgs), opts.mode_idx)
+        batch = np.stack(imgs)
+        bmax = float(batch.max())
+        if bmax != 255 and bmax <= 1.001:
+            # Reference per-batch uint8 shim, bit-for-bit in its design
+            # regime (``metric_utils.py:240-247``): datasets stored in
+            # [0,1] floats are rescaled and TRUNCATED to uint8 before
+            # the detector.  Batches containing an exact 255 (uint8
+            # exports, [0,255] data with clipped highlights — real claro
+            # normalization pins per-volume maxima at exactly 255,
+            # ``dataset_tool_mi.py:313-331``) pass through on both
+            # sides.  Numbers are drop-in comparable in both regimes
+            # (tests/test_fid_cross_framework.py).
+            batch = np.clip(batch * 255, 0, 255).astype(np.uint8).astype(np.float32)
+        elif bmax != 255 and bmax > 1.001 and not _warned_unshimmed:
+            # DOCUMENTED DIVERGENCE: the reference would *255 and
+            # saturate a [0,255]-float batch that happens to lack an
+            # exact 255, destroying the metric; we pass it through
+            # unchanged and warn once (PARITY.md, metric shim row).
+            import warnings
+
+            _warned_unshimmed.append(True)
+            warnings.warn(
+                f"metric batch max={bmax:.3f}: [0,255]-ranged floats "
+                "without an exact 255 — the reference's *255→uint8 shim "
+                "(metric_utils.py:240-247) would saturate such batches; "
+                "passing through unchanged instead (warned once)",
+                stacklevel=2)
+        batch = to_detector_input(batch, opts.mode_idx)
         stats.append(detector(batch))
         if opts.progress:
             opts.progress(stats.num_items, n)
@@ -263,8 +293,11 @@ def compute_feature_stats_for_generator(
         batch_size = -(-batch_size // ndev) * ndev
 
     def postprocess_and_extract(img):
-        # Reference ``(img·127.5+128).clamp(0,255)`` (``metric_utils.py:291``).
-        img255 = jnp.clip(img * 127.5 + 128, 0, 255)
+        # Reference ``(img·127.5+128).clamp(0,255).to(torch.uint8)``
+        # (``metric_utils.py:291``) — the uint8 cast TRUNCATES, so floor
+        # here keeps generated-feature inputs bit-comparable
+        # (tests/test_fid_cross_framework.py).
+        img255 = jnp.floor(jnp.clip(img * 127.5 + 128, 0, 255))
         return opts.detector.device_features(to_detector_input(img255, opts.mode_idx))
 
     # One jit runs z-sampling → G → postprocess → detector (sharded across

@@ -48,11 +48,18 @@ def calc_metric(metric: str, opts: MetricOptions, mode_name: Optional[str] = Non
 
 
 def report_metric(result_dict: dict, run_dir: Optional[str] = None,
-                  snapshot_path: Optional[str] = None) -> None:
-    """Append to ``metric-<mode>-<metric>.jsonl`` (reference ``:70-85``)."""
+                  snapshot_path: Optional[str] = None,
+                  kimg: Optional[int] = None) -> None:
+    """Append to ``metric-<mode>-<metric>.jsonl`` (reference ``:70-85``).
+
+    ``kimg`` stamps the row with the snapshot's training progress — under
+    ``--metric-async`` the row is written at completion time, so the
+    timestamp alone would misattribute the curve point."""
     metric = result_dict["metric"]
     mode = result_dict.get("mode")
     record = dict(result_dict, snapshot_path=snapshot_path, timestamp=time.time())
+    if kimg is not None:
+        record["kimg"] = int(kimg)
     print(json.dumps(record))
     if run_dir is not None and os.path.isdir(run_dir):
         name = f"metric-{mode}-{metric}.jsonl" if mode else f"metric-{metric}.jsonl"

@@ -46,9 +46,13 @@ def make_patient(rng, depth=32):
         tex = trng.normal(0, 1, (RES // 4, RES // 4)).astype(np.float32)
         tex = np.kron(tex, np.ones((4, 4), np.float32))
         img = img + tex * 12.0 * body
-        # spine-ish bright blob
+        # spine-ish bright blob — clipped highlight: real claro
+        # normalization pins per-volume maxima at exactly 255
+        # (dataset_tool_mi.py:313-331), so every slice carries exact-255
+        # pixels and the reference's per-batch uint8 metric shim
+        # (metric_utils.py:240-247) stays a passthrough.
         spine = ((xx / 0.05) ** 2 + ((yy - 0.28) / 0.06) ** 2) < 1.0
-        img[spine & body] = 235.0
+        img[spine & body] = 280.0
         img = img + trng.normal(0, 4.0, (RES, RES)).astype(np.float32)
         out.append(np.clip(img, 0, 255)[:, :, None].astype(np.float32))
     return out

@@ -22,6 +22,10 @@ class SyntheticDataset(GANDataset):
     def __init__(self, n=64, res=16, c=1, seed=0):
         self._rng = np.random.default_rng(seed)
         self._data = (self._rng.random((n, res, res, c)) * 255).astype(np.float32)
+        # Clipped highlight per image: real claro normalization pins
+        # per-volume maxima at exactly 255 (dataset_tool_mi.py:313-331),
+        # which keeps the reference's per-batch uint8 shim a passthrough.
+        self._data[:, 0, 0, 0] = 255.0
         super().__init__("synthetic", [n, res, res, c])
 
     def _load_raw_image(self, raw_idx):
