@@ -110,6 +110,18 @@ def parse_comma_separated_list(ctx, param, value):
 # Misc settings.
 @click.option("--desc", type=str, default=None)
 @click.option("--metrics", callback=parse_comma_separated_list, default="fid50k_full")
+@click.option("--workers", type=click.IntRange(min=1), default=1,
+              help="Loader prefetch workers (threads for sharded-memmap, "
+                   "spawned processes for zip-pickle — reference "
+                   "DataLoader num_workers=3 semantics)")
+@click.option("--metric-snap", type=click.IntRange(min=1), default=1,
+              help="Evaluate metrics only on every N-th snapshot "
+                   "(checkpoints still save every snapshot; skipped "
+                   "metrics can be recomputed via tools/analysis.py)")
+@click.option("--metric-async", is_flag=True, default=False,
+              help="Run snapshot metrics in a background thread while "
+                   "training continues (jsonl rows stamped by snapshot "
+                   "kimg)")
 @click.option("--detector-weights", type=str, default=None,
               help="Converted InceptionV3 weights .npz for FID (see tools/convert_detector.py)")
 @click.option("--kimg", type=click.IntRange(min=1), default=25000)
@@ -355,6 +367,13 @@ def train(c, opts, run_dir, dataset_kwargs):
         dataset, batch_size=opts.batch // jax.process_count(),
         rank=jax.process_index(), num_replicas=jax.process_count(),
         seed=opts.seed,
+        num_workers=opts.workers,
+        # zip-pickle decodes hold the GIL (threads scale negatively,
+        # docs/SCALING.md) — use spawned worker processes there, like the
+        # reference's 3-process torch DataLoader; the sharded-memmap
+        # C++ gather releases the GIL, where threads are zero-copy.
+        worker_mode=("process" if opts.workers > 1
+                     and not hasattr(dataset, "gather_batch") else "thread"),
     )
 
     # EMA sampling for image grids.
@@ -375,7 +394,7 @@ def train(c, opts, run_dir, dataset_kwargs):
     if c.metrics:
         detector = make_inception_detector(opts.detector_weights, seed=0)
 
-    def metric_fn(state):
+    def metric_fn(state, kimg=None):
         @jax.jit
         def gen(z, cl):
             return g.apply(state.vars_g_ema, z, cl if c_dim > 0 else None, noise_mode="const")
@@ -411,7 +430,7 @@ def train(c, opts, run_dir, dataset_kwargs):
             )
             for m in c.metrics:
                 rd = calc_metric(m, mopts, mode_name=mode_name)
-                report_metric(rd, run_dir=run_dir)
+                report_metric(rd, run_dir=run_dir, kimg=kimg)
                 results.update({f"{mode_name or ''}{k}": v for k, v in rd["results"].items()})
         return results
 
@@ -430,6 +449,8 @@ def train(c, opts, run_dir, dataset_kwargs):
             image_snapshot_ticks=c.snapshot_ticks,
             metrics=c.metrics,
             metric_fn=metric_fn if c.metrics else None,
+            metric_snapshot_every=opts.metric_snap,
+            metric_async=opts.metric_async,
             sample_fn=sample_fn,
         )
     except BaseException as e:

@@ -11,7 +11,9 @@ orchestration.
 
 from __future__ import annotations
 
+import inspect
 import os
+import threading
 import time
 from typing import Callable, List, Optional, Sequence
 
@@ -43,6 +45,20 @@ def setup_snapshot_image_grid(dataset, random_seed: int = 0, gw: Optional[int] =
     return (gw, gh), np.stack(images), np.stack(labels)
 
 
+def _call_metric_fn(metric_fn, state, kimg):
+    """Pass ``kimg`` through when the metric_fn accepts it (so async
+    jsonl rows are stamped with snapshot kimg, not completion time);
+    plain ``metric_fn(state)`` callables keep working."""
+    try:
+        sig = inspect.signature(metric_fn)
+        accepts = ("kimg" in sig.parameters or any(
+            p.kind == inspect.Parameter.VAR_KEYWORD
+            for p in sig.parameters.values()))
+    except (TypeError, ValueError):
+        accepts = False
+    return metric_fn(state, kimg=kimg) if accepts else metric_fn(state)
+
+
 def training_loop(
     *,
     run_dir: str,
@@ -55,7 +71,9 @@ def training_loop(
     snapshot_ticks: Optional[int] = 50,
     image_snapshot_ticks: Optional[int] = 50,
     metrics: Sequence[str] = (),
-    metric_fn: Optional[Callable[[GANTrainState], dict]] = None,
+    metric_fn: Optional[Callable[..., dict]] = None,
+    metric_snapshot_every: int = 1,
+    metric_async: bool = False,
     sample_fn: Optional[Callable[[GANTrainState, np.ndarray, np.ndarray], np.ndarray]] = None,
     abort_fn: Optional[Callable[[], bool]] = None,
     progress_fn: Optional[Callable[[int, int], None]] = None,
@@ -64,8 +82,22 @@ def training_loop(
     """Run until ``total_kimg``; returns the final state.
 
     ``sample_fn(state, grid_z, grid_c) -> images`` renders EMA samples for
-    the fakes grid; ``metric_fn(state) -> {name: value}`` evaluates the
-    configured metrics on a snapshot.
+    the fakes grid; ``metric_fn(state, kimg=...) -> {name: value}``
+    evaluates the configured metrics on a snapshot.
+
+    Metric-cadence mitigation (the reference couples metrics to every
+    snapshot, paying ~24% overhead at its own ``--snap=10 --tick=4``
+    recipe, ``docs/evidence/metric_overhead.md``):
+
+    * ``metric_snapshot_every=N`` evaluates metrics only on every N-th
+      snapshot (checkpoints still save on ALL snapshots, so any skipped
+      metric can be recomputed later via ``tools/analysis.py``).
+    * ``metric_async=True`` runs ``metric_fn`` on the snapshot state in
+      a background thread while training continues; JAX arrays are
+      immutable, so the captured state is a consistent snapshot, and the
+      jsonl row is stamped with the snapshot's kimg, not completion
+      time.  At most one metric thread runs at a time (a still-running
+      one is joined first).
     """
     start_time = time.time()
     collector = stats_lib.Collector()
@@ -89,6 +121,26 @@ def training_loop(
     tick_start_time = time.time()
     maintenance_time = 0.0
     done = False
+
+    snapshot_idx = 0
+    metric_thread = [None]
+
+    def run_metrics(snap_state, kimg):
+        # A metric failure (e.g. a transient remote-compile error on the
+        # tunneled runtime) must not kill a multi-day training run: the
+        # checkpoint already persists the state, so log and keep
+        # training; the metric can be recomputed from the snapshot later
+        # (tools/analysis.py metric re-runner).
+        try:
+            results = _call_metric_fn(metric_fn, snap_state, kimg)
+            for name, value in results.items():
+                print(f"metric {name}: {value:.4f}")
+        except Exception as e:  # noqa: BLE001 — deliberate isolation
+            import traceback
+
+            print(f"metric evaluation failed at kimg {kimg} "
+                  f"(continuing): {e!r}")
+            traceback.print_exc()
 
     cur_nimg = int(state.cur_nimg)  # host mirror; the loop never syncs per step
     pending_moments = []
@@ -166,10 +218,22 @@ def training_loop(
         # ------------------------------------------- network snapshots
         if snapshot_ticks is not None and (done or cur_tick % snapshot_ticks == 0) and cur_tick > 0:
             path = save_checkpoint(os.path.join(run_dir, "checkpoints"), state)
-            if metric_fn is not None and metrics:
-                results = metric_fn(state)
-                for name, value in results.items():
-                    print(f"metric {name}: {value:.4f}")
+            snapshot_idx += 1
+            run_now = (done or (snapshot_idx - 1) % max(metric_snapshot_every, 1) == 0)
+            if metric_fn is not None and metrics and run_now:
+                kimg = cur_nimg // 1000
+                if metric_async and not done:
+                    if metric_thread[0] is not None:
+                        metric_thread[0].join()
+                    t = threading.Thread(target=run_metrics,
+                                         args=(state, kimg), daemon=True)
+                    t.start()
+                    metric_thread[0] = t
+                else:
+                    if metric_thread[0] is not None:
+                        metric_thread[0].join()
+                        metric_thread[0] = None
+                    run_metrics(state, kimg)
 
         if progress_fn is not None:
             progress_fn(cur_nimg // 1000, total_kimg)
@@ -179,5 +243,7 @@ def training_loop(
         maintenance_time = time.time() - maintenance_start
         tick_start_time = time.time()
 
+    if metric_thread[0] is not None:
+        metric_thread[0].join()
     jsonl.close()
     return state
