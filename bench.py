@@ -131,6 +131,50 @@ def main():
     t_tt = median_step_ms(True, True)
     mean_step_ms = (12 * t_ff + 3 * t_tf + 1 * t_tt) / 16
 
+    # ---- loader-fed end-to-end (VERDICT r4 #7): the REAL path --------
+    # loader thread → host batch → shard_batch H2D → step, with the
+    # training loop's overlap pattern (next batch H2D enqueued while the
+    # step runs).  Uses the plain-phase step; gap vs t_ff is the host
+    # cost the synthetic bench can't see.
+    def loader_fed_ms(windows=5, steps_per_window=16):
+        nonlocal state
+        import shutil
+        import tempfile
+
+        from gantrack_tpu.data.dataset import open_dataset
+        from gantrack_tpu.data.loader import InfiniteLoader
+        from gantrack_tpu.data.preprocess.packaging import pack_shards
+
+        tmp = tempfile.mkdtemp(prefix="benchds-")
+        try:
+            imgs_np = [(rng.random((res, res, 1)) * 255).astype(np.float32)
+                       for _ in range(256)]
+            pack_shards(tmp, "train", imgs_np,
+                        [f"s{i}" for i in range(len(imgs_np))])
+            dataset = open_dataset(tmp, split="train")
+            loader = InfiniteLoader(dataset, batch_size=batch, seed=0,
+                                    num_workers=2, prefetch=4)
+            fn = stepper.get(False, False)
+            nb = shard_batch(mesh, jnp.asarray(next(loader)[0]))
+            state, _ = fn(state, nb, zeros_c)
+            _drain(state)
+            times = []
+            for _ in range(windows):
+                t0 = time.perf_counter()
+                for _ in range(steps_per_window):
+                    b = nb
+                    state, _ = fn(state, b, zeros_c)
+                    nb = shard_batch(mesh, jnp.asarray(next(loader)[0]))
+                _drain(state)
+                times.append((time.perf_counter() - t0) / steps_per_window)
+            loader.close()
+            return float(np.median(times) * 1000)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    t_fed = loader_fed_ms()
+    fed_mean_ms = mean_step_ms + (t_fed - t_ff)  # reg cadence + host gap
+
     imgs_per_sec = batch / (mean_step_ms / 1000)
     baseline = 45.8  # imgs/sec/GPU, V100, reference configs.md:182
     print(json.dumps({
@@ -143,6 +187,9 @@ def main():
             "step_ms_greg": round(t_tf, 1),
             "step_ms_greg_dreg": round(t_tt, 1),
             "sec_per_kimg": round(mean_step_ms / batch, 2),
+            "step_ms_loader_fed": round(t_fed, 1),
+            "host_gap_ms": round(t_fed - t_ff, 1),
+            "imgs_per_sec_loader_fed": round(batch / (fed_mean_ms / 1000), 2),
         },
     }))
 

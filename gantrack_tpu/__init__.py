@@ -47,4 +47,25 @@ def _enable_persistent_compilation_cache() -> None:
         pass
 
 
+def _apply_platform_override() -> None:
+    """``GANTRACK_PLATFORM=cpu|axon|tpu`` pins the JAX platform for every
+    framework CLI.  Needed because ambient runtimes may pin the platform
+    *programmatically* at interpreter start (the axon sitecustomize calls
+    its register() before user code, overriding ``JAX_PLATFORMS``), which
+    otherwise makes a CPU-only drive impossible while another process
+    holds the single TPU chip."""
+    import os
+
+    plat = os.environ.get("GANTRACK_PLATFORM", "")
+    if not plat:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    except Exception:  # pragma: no cover - best-effort, CLI errors later
+        pass
+
+
 _enable_persistent_compilation_cache()
+_apply_platform_override()

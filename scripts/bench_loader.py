@@ -86,6 +86,19 @@ def main():
             rate = measure(loader)
             rows.append((fmt, workers, rate))
             print(f"{fmt:16s} workers={workers}  {rate:8.1f} imgs/s", flush=True)
+        if fmt == "zip-pickle":
+            # Spawned worker processes sidestep the pickle.loads GIL
+            # (VERDICT r4 #9; reference uses 3 worker *processes*).
+            # NOTE: on a single-core host this measures overhead, not
+            # scaling — interpret against nproc.
+            for workers in (2, 4):
+                ds = mk()
+                loader = InfiniteLoader(ds, BATCH, num_workers=workers,
+                                        prefetch=8, worker_mode="process")
+                rate = measure(loader)
+                rows.append((f"{fmt}(proc)", workers, rate))
+                print(f"{fmt}(proc)      workers={workers}  {rate:8.1f} imgs/s",
+                      flush=True)
 
     print("\n| format | workers | imgs/s | 1-chip demand (155) | 8-chip demand (1240) |")
     print("|---|---|---|---|---|")

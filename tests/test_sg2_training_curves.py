@@ -397,11 +397,15 @@ def test_sg2_training_curve_matches_reference():
 
 
 def test_sg2_training_dynamics_statistical_with_ada():
-    """A few hundred steps of the PRODUCTION recipe (ADA medical augment +
+    """1000 steps of the PRODUCTION recipe (ADA medical augment +
     controller, style mixing 0.9, random synthesis noise), each side using
     its own RNG: score trajectories, penalty magnitudes, and the ADA-p
-    trajectory agree at the distribution level (VERDICT r4 next #2)."""
-    res, cbase, cmax, batch, steps = 16, 128, 32, 8, 240
+    trajectory agree under CI-based equivalence bands (VERDICT r4 #6 —
+    the earlier 240-step 0.35-absolute / 0.2–5× bands were smoke-level;
+    these use 5 approx-independent 100-step tail blocks per side and a
+    3σ two-sample band plus a small systematic floor, i.e. the test's
+    power is carried by the measured run-to-run variance itself)."""
+    res, cbase, cmax, batch, steps = 16, 128, 32, 8, 1000
     ada_target, ada_interval, ada_kimg = 0.6, 4, 2.0
     g_ref, d_ref, g_ema_ref, g, d = _build_pair(res, cbase, cmax, mbstd_group=2)
     loss_mod = import_reference_module("training.loss")
@@ -502,22 +506,41 @@ def test_sg2_training_dynamics_statistical_with_ada():
         ref["p"].append(float(pipe_ref.p))
 
     w = steps // 2  # compare the second half (past the initial transient)
+    K = 5           # tail blocks per side (approx independent at 100 steps)
 
-    def tail_mean(xs):
-        return float(np.mean(np.asarray(xs)[-w:]))
+    def blocks(xs):
+        tail = np.asarray(xs, np.float64)[-w:]
+        return tail.reshape(K, -1).mean(axis=1)
+
+    def assert_equivalent(key, o_series, r_series, floor):
+        """|Δmean| ≤ 3·SE(Δ) + floor, with SE from the measured block
+        variance of BOTH sides — the band scales with the dynamics' own
+        run-to-run noise instead of a fixed smoke tolerance."""
+        ob, rb = blocks(o_series), blocks(r_series)
+        se = float(np.sqrt(ob.var(ddof=1) / K + rb.var(ddof=1) / K))
+        delta = abs(float(ob.mean() - rb.mean()))
+        assert delta <= 3 * se + floor, (
+            key, dict(ours=float(ob.mean()), ref=float(rb.mean()),
+                      delta=delta, band=3 * se + floor, se=se))
 
     # sign(D(real)) running mean — the ADA feedback signal itself.
-    assert abs(tail_mean(ours["signs_real"]) - tail_mean(ref["signs_real"])) < 0.35, (
-        tail_mean(ours["signs_real"]), tail_mean(ref["signs_real"]))
-    # fake scores trend the same direction and magnitude band.
-    sf_o, sf_r = tail_mean(ours["scores_fake"]), tail_mean(ref["scores_fake"])
-    assert abs(sf_o - sf_r) < max(1.5, 0.75 * max(abs(sf_o), abs(sf_r))), (sf_o, sf_r)
-    # penalty magnitudes within a small multiplicative band.
+    assert_equivalent("signs_real", ours["signs_real"], ref["signs_real"],
+                      floor=0.06)
+    # fake scores in the same band.
+    assert_equivalent("scores_fake", ours["scores_fake"], ref["scores_fake"],
+                      floor=0.25)
+    # penalty magnitudes: equivalence on log-medians (scale parity);
+    # floor 0.35 ≈ a 1.4× ratio vs the old 0.2–5× smoke band.
     for key in ("r1", "pl"):
-        o = float(np.median(ours[key])) + 1e-8
-        r = float(np.median(ref[key])) + 1e-8
-        assert 0.2 < o / r < 5.0, (key, o, r)
-    # ADA-p trajectories: both controllers respond to their own overfitting
-    # signal; they must end in the same band and have moved if the signal
-    # demanded it.
-    assert abs(ours["p"][-1] - ref["p"][-1]) < 0.3, (ours["p"][-1], ref["p"][-1])
+        o = np.log(np.asarray(ours[key], np.float64)[-len(ours[key]) // 2:] + 1e-8)
+        r = np.log(np.asarray(ref[key], np.float64)[-len(ref[key]) // 2:] + 1e-8)
+        ob = o[: len(o) - len(o) % K].reshape(K, -1).mean(axis=1)
+        rb = r[: len(r) - len(r) % K].reshape(K, -1).mean(axis=1)
+        se = float(np.sqrt(ob.var(ddof=1) / K + rb.var(ddof=1) / K))
+        delta = abs(float(ob.mean() - rb.mean()))
+        assert delta <= 3 * se + 0.35, (
+            key, dict(log_ours=float(ob.mean()), log_ref=float(rb.mean()),
+                      delta=delta, band=3 * se + 0.35))
+    # ADA-p trajectories: same controller responding to its own signal —
+    # tail means within 0.1 (was: endpoints within 0.3).
+    assert_equivalent("ada_p", ours["p"], ref["p"], floor=0.08)
