@@ -11,12 +11,14 @@ needs natively: single-frame DICOM files in
 * RLE Lossless                         (1.2.840.10008.1.2.5, native
   PackBits decoder per PS3.5 Annex G)
 * JPEG Baseline (Process 1)            (1.2.840.10008.1.2.4.50, via PIL)
+* JPEG-LS (lossless + near-lossless)   (1.2.840.10008.1.2.4.80/.81,
+  native T.87 decoder, ``preprocess/jpegls.py``)
 * JPEG 2000 (lossless + lossy)         (1.2.840.10008.1.2.4.90/.91, via PIL)
 
 parsing only the tags required to assemble a volume (geometry, rescale,
 pixel data).  Unsupported transfer syntaxes (big-endian, JPEG
-Extended/Lossless, JPEG-LS) raise with the syntax *named* so the failure
-is actionable.
+Extended/Lossless) raise with the syntax *named* so the failure is
+actionable.
 """
 
 from __future__ import annotations
@@ -33,6 +35,8 @@ EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
 DEFLATED_VR_LE = "1.2.840.10008.1.2.1.99"
 RLE_LOSSLESS = "1.2.840.10008.1.2.5"
 JPEG_BASELINE = "1.2.840.10008.1.2.4.50"
+JPEG_LS_LL = "1.2.840.10008.1.2.4.80"
+JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"
 JPEG_2000_LL = "1.2.840.10008.1.2.4.90"
 JPEG_2000 = "1.2.840.10008.1.2.4.91"
 
@@ -40,6 +44,8 @@ JPEG_2000 = "1.2.840.10008.1.2.4.91"
 _ENCAPSULATED = {
     RLE_LOSSLESS: "rle",
     JPEG_BASELINE: "pil",
+    JPEG_LS_LL: "jls",      # native T.87 decoder (preprocess/jpegls.py)
+    JPEG_LS_NEAR: "jls",
     JPEG_2000_LL: "pil",
     JPEG_2000: "pil",
 }
@@ -50,8 +56,6 @@ _TS_NAMES = {
     "1.2.840.10008.1.2.4.51": "JPEG Extended (Process 2 & 4)",
     "1.2.840.10008.1.2.4.57": "JPEG Lossless (Process 14)",
     "1.2.840.10008.1.2.4.70": "JPEG Lossless SV1 (Process 14)",
-    "1.2.840.10008.1.2.4.80": "JPEG-LS Lossless",
-    "1.2.840.10008.1.2.4.81": "JPEG-LS Near-Lossless",
 }
 
 # VRs with a 2-byte reserved field and 4-byte length in explicit mode.
@@ -221,6 +225,14 @@ def _decode_encapsulated(kind: str, frags: List[bytes], rows: int, cols: int,
         raise ValueError("encapsulated pixel data with no fragments")
     if kind == "rle":
         px = _rle_decode(frags[0], rows, cols, bits // 8)
+    elif kind == "jls":  # JPEG-LS via the native T.87 decoder
+        from . import jpegls
+
+        px, _bits = jpegls.decode(b"".join(frags))
+        if px.shape != (rows, cols):
+            raise ValueError(
+                f"JPEG-LS frame {px.shape} != Rows/Cols {(rows, cols)}")
+        px = px.astype(np.uint16 if bits > 8 else np.uint8)
     else:  # PIL-decodable codestream (JPEG baseline / JPEG 2000)
         import io
 

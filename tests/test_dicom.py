@@ -294,11 +294,11 @@ def test_deflated_explicit_le(tmp_path):
 
 
 def test_unsupported_syntax_named(tmp_path):
-    p = str(tmp_path / "jls.dcm")
-    meta = _el_explicit(0x0002, 0x0010, b"UI", _pad("1.2.840.10008.1.2.4.80"))
+    p = str(tmp_path / "jll.dcm")
+    meta = _el_explicit(0x0002, 0x0010, b"UI", _pad("1.2.840.10008.1.2.4.70"))
     with open(p, "wb") as f:
         f.write(b"\x00" * 128 + b"DICM" + meta)
-    with pytest.raises(ValueError, match="JPEG-LS Lossless"):
+    with pytest.raises(ValueError, match="JPEG Lossless SV1"):
         read_dicom_file(p)
 
 
