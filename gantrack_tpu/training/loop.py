@@ -156,6 +156,16 @@ def training_loop(
         next_batch = shard_batch(mesh, (images, labels))
         pending_moments.append(moments)  # device arrays; fetched at tick time
 
+        # Bound the dispatch queue: without a periodic host sync the loop
+        # can run a full tick (hundreds of steps) ahead of the device,
+        # pinning every in-flight input literal host-side — on the
+        # tunneled runtime this ballooned to tens of GB and stalled the
+        # box (r5: 70 GB RES, 100% iowait at kimg 140).  One small fetch
+        # every 16 steps caps in-flight work at ~16 batches for ~2 ms of
+        # amortised cost.
+        if len(pending_moments) % 16 == 0:
+            np.asarray(jax.tree.leaves(pending_moments[-1])[0])
+
         cur_nimg += batch_size
         done = cur_nimg >= total_kimg * 1000
         if (not done) and (cur_tick != 0) and (cur_nimg < tick_start_nimg + kimg_per_tick * 1000):
