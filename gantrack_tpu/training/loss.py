@@ -20,6 +20,7 @@ TPU-native notes:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -49,6 +50,22 @@ class StyleGAN2LossConfig:
 
 # augment_fn(images, p, rng) -> images
 AugmentFn = Callable[[jax.Array, jax.Array, jax.Array], jax.Array]
+
+# Rematerialisation knobs for the double-backward phases (perf A/B,
+# measured via bench.py env flags): "1" = full jax.checkpoint around the
+# inner function (recompute residuals in the outer backward), "dots" =
+# keep only MXU outputs (checkpoint_dots policy), unset/"0" = off.
+_R1_REMAT = os.environ.get("GANTRACK_R1_REMAT", "0")
+_PL_REMAT = os.environ.get("GANTRACK_PL_REMAT", "0")
+
+
+def _maybe_remat(fn, flag: str):
+    if flag == "1":
+        return jax.checkpoint(fn)
+    if flag == "dots":
+        return jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.checkpoint_dots)
+    return fn
 
 
 def per_sample_normal(key, sample_idx, shape_tail, dtype=jnp.float32):
@@ -257,7 +274,8 @@ class StyleGAN2Loss:
             pl_noise = pl_noise / np.sqrt(img.shape[1] * img.shape[2])
             return jnp.sum(img * pl_noise)
 
-        pl_grads = jax.grad(img_dot_noise)(ws, k_syn)  # [N, num_ws, w_dim]
+        pl_grads = jax.grad(_maybe_remat(img_dot_noise, _PL_REMAT))(ws, k_syn)
+        # [N, num_ws, w_dim]
         pl_lengths = jnp.sqrt(jnp.mean(jnp.sum(jnp.square(pl_grads), axis=2), axis=1))
         # The lerped mean stays IN the graph for the penalty (reference
         # ``loss.py:93-95`` detaches only the buffer copy): the gradient
@@ -333,7 +351,8 @@ class StyleGAN2Loss:
                                 sample_idx=sample_idx)
             return jnp.sum(logits), logits
 
-        r1_grads, real_logits = jax.grad(d_sum, has_aux=True)(real_img)
+        r1_grads, real_logits = jax.grad(
+            _maybe_remat(d_sum, _R1_REMAT), has_aux=True)(real_img)
         r1_penalty = jnp.sum(jnp.square(r1_grads), axis=(1, 2, 3))
         loss = r1_penalty * (self.cfg.r1_gamma / 2)
         m: stats.Moments = {}

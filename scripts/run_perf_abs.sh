@@ -28,5 +28,10 @@ run() {  # run <label> <env...> -- <cmd...>; returns the command's status
 # each bench up to 90 min; cache hits finish in ~2 min.
 run base           timeout 5400 python bench.py
 run flat_opt       env GANTRACK_FLAT_OPT=1 timeout 5400 python bench.py
+# Round-5 levers: remat in the double-backward phases (Greg/Dreg deltas).
+run r1_remat       env GANTRACK_R1_REMAT=1 timeout 5400 python bench.py
+run r1_remat_dots  env GANTRACK_R1_REMAT=dots timeout 5400 python bench.py
+run pl_remat       env GANTRACK_PL_REMAT=1 timeout 5400 python bench.py
+run both_dots      env GANTRACK_R1_REMAT=dots GANTRACK_PL_REMAT=dots timeout 5400 python bench.py
 
 echo "=== done $(date -u +%H:%M:%S) ===" | tee -a "$OUT"
