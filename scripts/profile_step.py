@@ -13,6 +13,9 @@ import time
 import sys
 sys.path.insert(0, "/root/repo")
 import jax
+# Match the resumed train CLI's program exactly (hardware RBG PRNG)
+# so profiles hit the compile cache of the production run.
+jax.config.update("jax_default_prng_impl", "rbg")
 import jax.numpy as jnp
 import numpy as np
 
@@ -49,7 +52,8 @@ def build_stepper(num_fp16_res: int = 4):
         g, d, StyleGAN2LossConfig(r1_gamma=0.4096, style_mixing_prob=0.9, pl_weight=2.0),
         augment_fn=augment,
     )
-    cfg = TrainStepConfig(batch_size=batch, z_dim=zdim, ada_target=0.6)
+    cfg = TrainStepConfig(batch_size=batch, z_dim=zdim, ada_target=0.6,
+                      ema_rampup=None, ada_kimg=100)  # resumed-CLI values
     mesh = create_mesh(1)
     stepper = TrainStepper(loss, opt_g, opt_d, cfg, mesh)
     imgs = shard_batch(mesh, jnp.asarray(
