@@ -31,9 +31,20 @@ def load(run_dir):
 
 def main():
     dirs = sys.argv[1:]
-    all_rows, all_fids = [], []
+    segs = []
     for d in dirs:
-        rows, fids = load(d)
+        try:
+            rows, fids = load(d)
+        except FileNotFoundError:
+            continue
+        if rows:
+            segs.append((d, rows, fids))
+    # Clip each segment's rows at the successor's start kimg (a resume
+    # re-covers the span from its checkpoint; the later run supersedes).
+    all_rows, all_fids = [], []
+    for i, (d, rows, fids) in enumerate(segs):
+        nxt = segs[i + 1][1][0]["Progress/kimg"] if i + 1 < len(segs) else 1e18
+        rows = [r for r in rows if r["Progress/kimg"] <= nxt]
         for r in rows:
             r["run"] = d
         all_rows += rows
